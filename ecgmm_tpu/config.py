@@ -1,0 +1,241 @@
+"""Frozen dataclass configuration tree with per-workload presets.
+
+The reference keeps a single static class of constants
+(`/root/reference/config.py:6-46`) and hardcodes many hyperparameters inside
+individual trainer scripts (e.g. bs=8 / lr=1e-3 / OneCycle in
+`/root/reference/train_signal_only.py:115,234-238`). Here every workload's
+*effective* hyperparameters are captured as an immutable preset so runs are
+reproducible and jit-cache friendly (configs are hashable static args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data paths and input geometry (reference config.py:10-27)."""
+
+    data_dir: str = "./data"
+    image_dirname: str = "images"
+    ecg_csv: str = "ecg_signals.csv"
+    label_file: str = "labels.xlsx"
+    clinical_file: str = "clinical.csv"
+    af_label_file: str = "af_labels.xlsx"
+    arrhythmia_label_file: str = "arrhythmia_labels.xlsx"
+    physionet_dir: str = "./data/physionet"
+    ptbxl_dir: str = "./data/ptbxl"
+
+    img_height: int = 224
+    img_width: int = 224
+    # Hospital digitized lead-II signals: 2476 samples @ 250 Hz
+    # (reference evaluation_signal.py:36-38, train_signal_only_ptb.py:32).
+    signal_len: int = 2476
+    signal_fs: float = 250.0
+    clinical_dim: int = 2  # AGE, Wt (reference dataset.py:28,198)
+
+    # Indices known to be missing image folders (reference dataset.py:145).
+    known_missing: Tuple[int, ...] = (17, 23, 36, 43, 51, 62, 115, 158)
+
+    @property
+    def image_dir(self) -> str:
+        return os.path.join(self.data_dir, self.image_dirname)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD data parallelism.
+
+    The reference is single-device (no torch.distributed anywhere); here
+    batch parallelism is a first-class 1-D 'data' mesh axis. A 'model' axis
+    is reserved so tensor-parallel shardings can be added without API
+    changes (models are <12M params, so it defaults to 1).
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    n_data: int = -1  # -1 = all visible devices
+    n_model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Trimodal fusion model geometry (reference multimodal.py:333-415)."""
+
+    num_classes: int = 2
+    # canonical asymmetric dims (multimodal.py:340-342)
+    image_dim: int = 512
+    signal_dim: int = 128
+    clinical_dim: int = 32
+    fusion_hidden: int = 128
+    dropout: float = 0.3
+    signal_base_filters: int = 64
+    signal_input_channels: int = 1
+    clinical_in_features: int = 2
+    # 'tabnet' (multimodal.py:109-148) or 'mlp'
+    # (multimodal_paper_modal_balance.py:256-263)
+    clinical_encoder: str = "tabnet"
+    # modal-balance variant forces 256/256/256 + MLP clinical encoder
+    # (multimodal_paper_modal_balance.py:197-263).
+    variant: str = "canonical"
+    dtype: str = "bfloat16"  # compute dtype; params stay fp32
+
+    @staticmethod
+    def modal_balance() -> "ModelConfig":
+        return ModelConfig(
+            image_dim=256,
+            signal_dim=256,
+            clinical_dim=256,
+            clinical_in_features=24,
+            clinical_encoder="mlp",
+            variant="modal_balance",
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop hyperparameters.
+
+    Defaults mirror the reference fusion trainer: bs 16, ≤30 epochs,
+    lr 1e-4, early-stop patience 5, LR÷10 after 2 non-improving epochs,
+    loss = CE(fusion) + 0.1·var (reference config.py:33-36,
+    train.py:35-43,78,157-167).
+    """
+
+    seed: int = 42
+    batch_size: int = 16
+    num_epochs: int = 30
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    patience: int = 5  # early stop
+    plateau_patience: int = 2  # epochs of no val improvement before LR decay
+    plateau_factor: float = 0.1  # LR ÷ 10 (train.py:157-163)
+    var_loss_weight: float = 0.1  # train.py:78
+    freeze_encoders: bool = True  # train.py:35-40
+    loss: str = "cross_entropy"  # or "focal"
+    focal_alpha: float = 1.0
+    focal_gamma: float = 2.0
+    schedule: str = "constant"  # or "onecycle"
+    onecycle_peak_lr: float = 1e-3
+    checkpoint_dir: str = "./checkpoints"
+    log_dir: str = "./runs"
+    output_dir: str = "./output"
+    keep_checkpoints: int = 3
+    eval_batch_size: int = 0  # 0 = same as batch_size
+    # CV settings (reference config.py:39-40)
+    k_outer: int = 5
+    k_inner: int = 3
+    donate_state: bool = True
+
+    @property
+    def eval_bs(self) -> int:
+        return self.eval_batch_size or self.batch_size
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = DataConfig()
+    mesh: MeshConfig = MeshConfig()
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    name: str = "fusion"
+
+
+# ---------------------------------------------------------------------------
+# Per-workload presets mirroring each reference trainer's effective settings.
+# ---------------------------------------------------------------------------
+
+def fusion_preset() -> Config:
+    """Trimodal fusion training (reference train.py)."""
+    return Config(name="fusion")
+
+
+def fusion_modal_balance_preset() -> Config:
+    """Modal-balance fusion variant (reference train_paper_modal_balance.py)."""
+    return Config(name="fusion_modal_balance", model=ModelConfig.modal_balance())
+
+
+def image_only_preset() -> Config:
+    """Image-only ResNet18 (reference train_image_only.py)."""
+    return Config(
+        name="image_only",
+        train=TrainConfig(lr=1e-4, freeze_encoders=False),
+    )
+
+
+def signal_only_preset() -> Config:
+    """Signal-only ResNet1D-SE on hospital CSVs
+    (reference train_signal_only.py:115,234-238: bs 8, lr 1e-3, focal,
+    OneCycle)."""
+    return Config(
+        name="signal_only",
+        train=TrainConfig(
+            batch_size=8,
+            lr=1e-3,
+            loss="focal",
+            schedule="onecycle",
+            onecycle_peak_lr=1e-3,
+            freeze_encoders=False,
+        ),
+    )
+
+
+def ptbxl_preset() -> Config:
+    """PTB-XL AF-vs-other-rhythm task (reference train_signal_only_ptb.py:
+    bs 16, 10 epochs, weighted sampling, 60/20/20 split, len 2476)."""
+    return Config(
+        name="ptbxl_af",
+        train=TrainConfig(
+            batch_size=16,
+            num_epochs=10,
+            lr=1e-3,
+            loss="focal",
+            schedule="onecycle",
+            freeze_encoders=False,
+        ),
+    )
+
+
+def physionet_preset() -> Config:
+    """PhysioNet/CinC 2017 binary task (reference train_physionet.py)."""
+    return Config(
+        name="physionet",
+        data=DataConfig(signal_len=3000, signal_fs=300.0),
+        train=TrainConfig(
+            batch_size=32,
+            lr=1e-3,
+            loss="focal",
+            schedule="onecycle",
+            freeze_encoders=False,
+        ),
+    )
+
+
+def physionet_multi_preset() -> Config:
+    """PhysioNet 3-class N/AF/O task (reference train_physionet_multi.py)."""
+    return dataclasses.replace(
+        physionet_preset(),
+        name="physionet_multi",
+        model=ModelConfig(num_classes=3),
+    )
+
+
+PRESETS = {
+    "fusion": fusion_preset,
+    "fusion_modal_balance": fusion_modal_balance_preset,
+    "image_only": image_only_preset,
+    "signal_only": signal_only_preset,
+    "ptbxl_af": ptbxl_preset,
+    "physionet": physionet_preset,
+    "physionet_multi": physionet_multi_preset,
+}
+
+
+def get_preset(name: str) -> Config:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,177 @@
+"""Offline dataset materialization + sharded device feeding.
+
+The reference pays PIL decode + scipy filtfilt per sample, per epoch, in
+DataLoader worker processes (`/root/reference/dataset.py:53-74` — its CPU
+bottleneck). The whole cohort is tiny (~244 × (2476 floats + 224² image)),
+so here every split is materialised ONCE into device-resident arrays:
+
+  * images stay uint8 in HBM (4× smaller than f32); the ±0.5 normalisation
+    runs on device fused into the first conv's input;
+  * signals are scaler-transformed + filtered by the jittable ops in
+    preprocess.py in one batched pass;
+  * per-epoch batching is pure index shuffling on host; batches are sliced
+    on device from the materialised arrays, already sharded over the
+    'data' mesh axis.
+
+Epoch iteration therefore does zero host→device copies of sample data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecgmm_tpu.config import Config
+from ecgmm_tpu.data import align, preprocess, splits, synthetic
+from ecgmm_tpu.parallel import batch_sharding, make_mesh
+
+
+class Arrays(NamedTuple):
+    """One materialised split. Fields may be None for unimodal tasks."""
+
+    images: Optional[jnp.ndarray]    # (N, H, W, 3) uint8
+    signals: Optional[jnp.ndarray]   # (N, T) or (N, C, T) float32
+    clinical: Optional[jnp.ndarray]  # (N, C) float32
+    labels: jnp.ndarray              # (N,) int32
+    indices: np.ndarray              # (N,) original patient ids (host)
+
+    @property
+    def n(self) -> int:
+        return int(self.labels.shape[0])
+
+
+@dataclasses.dataclass
+class MaterializedData:
+    train: Arrays
+    val: Arrays
+    test: Arrays
+    ecg_scaler: preprocess.Scaler
+    clinical_scaler: preprocess.Scaler
+
+
+def normalize_images(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 → float, matching torchvision ToTensor + Normalize(±0.5)
+    (reference dataset.py:119-123): (x/255 − 0.5)/0.5."""
+    return images_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
+def materialize_trimodal(
+    cohort: synthetic.SyntheticCohort,
+    cfg: Config,
+    apply_signal_filter: bool = True,
+) -> MaterializedData:
+    """Split + scale + preprocess a trimodal cohort into device arrays.
+
+    Mirrors get_dataloaders semantics (reference dataset.py:118-213):
+    stratified 8:1:1 on seed, StandardScaler fit on train only (full ECG
+    matrix; AGE/Wt for clinical), per-sample baseline-removal + low-pass
+    on the scaled signals.
+    """
+    sp = splits.stratified_811(cohort.labels, seed=cfg.train.seed)
+
+    ecg_scaler = preprocess.Scaler.fit(cohort.signals[sp.train])
+    clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :2])
+
+    def build(idx: np.ndarray) -> Arrays:
+        sig = ecg_scaler.transform(cohort.signals[idx])
+        if apply_signal_filter:
+            sig = preprocess.preprocess_hospital(sig)
+        clin = clin_scaler.transform(cohort.clinical[idx, :2])
+        if cohort.clinical.shape[1] > 2:
+            clin = jnp.concatenate(
+                [clin, jnp.asarray(cohort.clinical[idx, 2:])], axis=1
+            )
+        return Arrays(
+            images=jnp.asarray(cohort.images[idx]),
+            signals=jnp.asarray(sig, jnp.float32),
+            clinical=jnp.asarray(clin, jnp.float32),
+            labels=jnp.asarray(cohort.labels[idx], jnp.int32),
+            indices=cohort.indices[idx],
+        )
+
+    return MaterializedData(
+        train=build(sp.train),
+        val=build(sp.val),
+        test=build(sp.test),
+        ecg_scaler=ecg_scaler,
+        clinical_scaler=clin_scaler,
+    )
+
+
+class Batch(NamedTuple):
+    images: Optional[jnp.ndarray]
+    signals: Optional[jnp.ndarray]
+    clinical: Optional[jnp.ndarray]
+    labels: jnp.ndarray
+    # 1.0 for real samples, 0.0 for pad rows (batch padded to a multiple of
+    # the data-axis size so shapes stay static under jit).
+    mask: jnp.ndarray
+
+
+def _pad_indices(idx: np.ndarray, multiple: int) -> Tuple[np.ndarray, np.ndarray]:
+    n = len(idx)
+    padded = ((n + multiple - 1) // multiple) * multiple
+    mask = np.zeros(padded, np.float32)
+    mask[:n] = 1.0
+    if padded > n:
+        idx = np.concatenate([idx, np.full(padded - n, idx[-1] if n else 0)])
+    return idx, mask
+
+
+def iterate_batches(
+    arrays: Arrays,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int,
+    epoch: int = 0,
+    mesh=None,
+    drop_remainder: bool = False,
+) -> Iterator[Batch]:
+    """Host-side index iteration over device-resident arrays.
+
+    Gathers batch slices on device via jnp.take (a device-side gather from
+    HBM — no host copies), then constrains the result to the 'data'
+    sharding so downstream jit sees sharded inputs.
+    """
+    n = arrays.n
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed + epoch).shuffle(order)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if drop_remainder and len(idx) < batch_size:
+            break
+        idx, mask = _pad_indices(
+            idx, mesh.shape["data"] if mesh is not None else 1
+        )
+        didx = jnp.asarray(idx, jnp.int32)
+
+        def take(a):
+            if a is None:
+                return None
+            out = jnp.take(a, didx, axis=0)
+            if sharding is not None:
+                out = jax.device_put(out, sharding)
+            return out
+
+        yield Batch(
+            images=take(arrays.images),
+            signals=take(arrays.signals),
+            clinical=take(arrays.clinical),
+            labels=take(arrays.labels),
+            mask=(
+                jax.device_put(jnp.asarray(mask), sharding)
+                if sharding is not None else jnp.asarray(mask)
+            ),
+        )
+
+
+def num_batches(n: int, batch_size: int, drop_remainder: bool = False) -> int:
+    return n // batch_size if drop_remainder else -(-n // batch_size)
