@@ -1,0 +1,172 @@
+"""Trimodal attention-fusion model.
+
+Re-designs the reference's ECGMultimodalModel
+(`/root/reference/multimodal.py:333-469`): ResNet18 image branch,
+ResNet1D-SE signal branch, TabNet-or-MLP clinical branch, each LayerNorm'd;
+per-branch linear classifiers; a learnable softmax-weighted concat
+("AttentionFusion", multimodal.py:12-27); a fusion MLP head; and the
+chunk-wise variance-regularisation loss (multimodal.py:463-467).
+
+Two geometry variants (selected by ModelConfig.variant):
+  * canonical: 512/128/32 branch dims + TabNet clinical
+    (multimodal.py:340-342);
+  * modal_balance: 256/256/256 + MLP clinical
+    (multimodal_paper_modal_balance.py:197-263).
+
+The hot fusion head (scale-by-softmax-weights → concat → LayerNorm) has a
+fused Pallas kernel in ops/pallas_fusion.py; this module uses the XLA
+expression, which the compiler already fuses into adjacent matmuls — the
+Pallas path is wired in the training engine where profiling justifies it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ecgmm_tpu.config import ModelConfig
+from ecgmm_tpu.models.clinical import ClinicalMLPEncoder, TabNetEncoder
+from ecgmm_tpu.models.resnet18 import ResNet18
+from ecgmm_tpu.models.resnet1d_se import ResNet1DSE
+
+Dtype = Any
+
+
+class FusionOutput(NamedTuple):
+    image_logits: jnp.ndarray
+    signal_logits: jnp.ndarray
+    clinical_logits: jnp.ndarray
+    fusion_logits: jnp.ndarray
+    var_loss: jnp.ndarray       # scalar variance-balance regulariser
+    soft_weights: jnp.ndarray   # (3,) softmax attention weights
+    m_loss: jnp.ndarray         # TabNet sparsity loss (0 for MLP variant)
+
+
+class AttentionFusion(nn.Module):
+    """Three learnable scalars → softmax → scale each modality chunk →
+    concat → LayerNorm (reference multimodal.py:12-27)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, sig, clin):
+        w = self.param("weights", nn.initializers.ones, (3,))
+        sw = jax.nn.softmax(w)
+        fused = jnp.concatenate(
+            [sw[0] * img, sw[1] * sig, sw[2] * clin], axis=-1
+        )
+        fused = nn.LayerNorm(name="norm")(fused)
+        return fused, sw
+
+
+def _chunk_variance_loss(img, sig, clin):
+    """|var_i − var_s| + |var_i − var_c| + |var_s − var_c| with per-sample
+    feature variances (torch.var default: unbiased/ddof=1 — matched here;
+    reference multimodal.py:463-467)."""
+
+    def v(x):
+        return jnp.mean(jnp.var(x.astype(jnp.float32), axis=1, ddof=1))
+
+    vi, vs, vc = v(img), v(sig), v(clin)
+    return jnp.abs(vi - vs) + jnp.abs(vi - vc) + jnp.abs(vs - vc)
+
+
+class ECGMultimodalModel(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        self.image_encoder = ResNet18(
+            num_classes=c.image_dim, dtype=dtype, name="image_encoder"
+        )
+        self.signal_encoder = ResNet1DSE(
+            num_classes=c.signal_dim,
+            input_channels=c.signal_input_channels,
+            base_filters=c.signal_base_filters,
+            dtype=dtype,
+            name="signal_encoder",
+        )
+        if c.clinical_encoder == "tabnet":
+            self.clinical_encoder = TabNetEncoder(
+                out_dim=c.clinical_dim, dtype=dtype, name="clinical_encoder"
+            )
+        else:
+            self.clinical_encoder = ClinicalMLPEncoder(
+                out_dim=c.clinical_dim, dtype=dtype, name="clinical_encoder"
+            )
+        self.image_norm = nn.LayerNorm(name="image_norm")
+        self.signal_norm = nn.LayerNorm(name="signal_norm")
+        self.clinical_norm = nn.LayerNorm(name="clinical_norm")
+        self.image_classifier = nn.Dense(c.num_classes, name="image_classifier")
+        self.signal_classifier = nn.Dense(
+            c.num_classes, name="signal_classifier"
+        )
+        self.clinical_classifier = nn.Dense(
+            c.num_classes, name="clinical_classifier"
+        )
+        self.attention_fusion = AttentionFusion(
+            dtype=dtype, name="attention_fusion"
+        )
+        self.fusion_hidden = nn.Dense(
+            c.fusion_hidden, dtype=dtype, name="fusion_hidden"
+        )
+        self.fusion_dropout = nn.Dropout(c.dropout)
+        self.fusion_out = nn.Dense(c.num_classes, name="fusion_out")
+
+    def encode(self, image, signal, clinical, train: bool = False):
+        """Per-modality LayerNorm'd embeddings (the XAI surface: SHAP/LIME
+        operate on these — reference shap_fusion_modal_balance.py:53-93)."""
+        if signal.ndim == 2:
+            signal = signal[..., None]  # (B, T) → (B, T, 1)
+        img_feat = self.image_norm(
+            self.image_encoder(image, train=train).astype(jnp.float32)
+        )
+        sig_feat = self.signal_norm(
+            self.signal_encoder(signal, train=train).astype(jnp.float32)
+        )
+        clin = self.clinical_encoder(clinical, train=train)
+        m_loss = jnp.float32(0.0)
+        if isinstance(clin, tuple):
+            clin, m_loss = clin
+        clin_feat = self.clinical_norm(clin.astype(jnp.float32))
+        return img_feat, sig_feat, clin_feat, m_loss
+
+    def head(self, fused, train: bool = False):
+        x = nn.relu(self.fusion_hidden(fused))
+        x = self.fusion_dropout(x, deterministic=not train)
+        return self.fusion_out(x.astype(jnp.float32))
+
+    def fuse_embeddings(self, img_feat, sig_feat, clin_feat):
+        """Fusion logits from precomputed per-modality embeddings — the
+        callable SHAP/LIME differentiate through (reference
+        fusion_classifier.py:5-11 wraps exactly this surface)."""
+        fused, _ = self.attention_fusion(img_feat, sig_feat, clin_feat)
+        return self.head(fused)
+
+    def __call__(self, image, signal, clinical, train: bool = False
+                 ) -> FusionOutput:
+        img_feat, sig_feat, clin_feat, m_loss = self.encode(
+            image, signal, clinical, train=train
+        )
+        image_logits = self.image_classifier(img_feat)
+        signal_logits = self.signal_classifier(sig_feat)
+        clinical_logits = self.clinical_classifier(clin_feat)
+
+        fused, soft_weights = self.attention_fusion(
+            img_feat, sig_feat, clin_feat
+        )
+        fusion_logits = self.head(fused, train=train)
+        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat)
+        return FusionOutput(
+            image_logits=image_logits,
+            signal_logits=signal_logits,
+            clinical_logits=clinical_logits,
+            fusion_logits=fusion_logits,
+            var_loss=var_loss,
+            soft_weights=soft_weights,
+            m_loss=m_loss,
+        )

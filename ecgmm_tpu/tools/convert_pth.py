@@ -1,0 +1,158 @@
+"""One-way .pth → JAX parameter conversion for parity ingestion.
+
+Converts reference-format torch state dicts into this framework's Flax
+variable trees:
+  * ResNet1D_SE checkpoints (e.g. the shipped
+    `/root/reference/best_ptbxl.pth`, key layout `initial.0.*`,
+    `layer{1..3}.{conv,bn,se,downsample}*`, `classifier.{1,4}.*` —
+    producer `/root/reference/train_signal_only_ptb.py:290`);
+  * torchvision-style ResNet18 state dicts (`conv1`, `bn1`,
+    `layer{1..4}.{0,1}.*`, `fc`), the reference's image branch
+    (`/root/reference/multimodal.py:346-358`).
+
+Layout conversions: Conv1d (O,I,W)→(W,I,O); Conv2d (O,I,H,W)→(H,W,I,O);
+Linear (O,I)→(I,O); BatchNorm weight/bias→scale/bias with
+running_mean/var into batch_stats.
+
+Also provides `load_partial`, replicating the reference's three warm-start
+exclusion filters (image fc, signal classifier.4, TabNet final_mapping —
+multimodal.py:423-436,150-168,471-499) as a generic path-prefix merge.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping, Tuple
+
+import numpy as np
+
+from ecgmm_tpu.utils.tree import flatten_path_dict, unflatten_path_dict
+
+
+def _np(t) -> np.ndarray:
+    # torch tensor → numpy without importing torch at module scope
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def _conv1d(w):
+    return np.transpose(w, (2, 1, 0))
+
+
+def _conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def _put_bn(params, stats, flax_name: str, sd: Mapping[str, np.ndarray],
+            torch_prefix: str):
+    params[f"{flax_name}/scale"] = sd[f"{torch_prefix}.weight"]
+    params[f"{flax_name}/bias"] = sd[f"{torch_prefix}.bias"]
+    stats[f"{flax_name}/mean"] = sd[f"{torch_prefix}.running_mean"]
+    stats[f"{flax_name}/var"] = sd[f"{torch_prefix}.running_var"]
+
+
+def convert_resnet1d_se(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """Reference ResNet1D_SE state dict → {'params': ..., 'batch_stats': ...}
+    for models.ResNet1DSE."""
+    p: Dict[str, np.ndarray] = {}
+    s: Dict[str, np.ndarray] = {}
+
+    p["stem_conv/kernel"] = _conv1d(sd["initial.0.weight"])
+    p["stem_conv/bias"] = sd["initial.0.bias"]
+    _put_bn(p, s, "stem_bn", sd, "initial.1")
+
+    for layer in ("layer1", "layer2", "layer3"):
+        for conv in ("conv1", "conv2"):
+            p[f"{layer}/{conv}/kernel"] = _conv1d(sd[f"{layer}.{conv}.weight"])
+            p[f"{layer}/{conv}/bias"] = sd[f"{layer}.{conv}.bias"]
+        for bn in ("bn1", "bn2"):
+            _put_bn(p, s, f"{layer}/{bn}", sd, f"{layer}.{bn}")
+        p[f"{layer}/se/fc1/kernel"] = _linear(sd[f"{layer}.se.fc.0.weight"])
+        p[f"{layer}/se/fc1/bias"] = sd[f"{layer}.se.fc.0.bias"]
+        p[f"{layer}/se/fc2/kernel"] = _linear(sd[f"{layer}.se.fc.2.weight"])
+        p[f"{layer}/se/fc2/bias"] = sd[f"{layer}.se.fc.2.bias"]
+        if f"{layer}.downsample.0.weight" in sd:
+            p[f"{layer}/downsample_conv/kernel"] = _conv1d(
+                sd[f"{layer}.downsample.0.weight"]
+            )
+            p[f"{layer}/downsample_conv/bias"] = sd[
+                f"{layer}.downsample.0.bias"
+            ]
+            _put_bn(p, s, f"{layer}/downsample_bn", sd, f"{layer}.downsample.1")
+
+    if "classifier.1.weight" in sd:
+        p["head_dense/kernel"] = _linear(sd["classifier.1.weight"])
+        p["head_dense/bias"] = sd["classifier.1.bias"]
+    if "classifier.4.weight" in sd:
+        p["head_out/kernel"] = _linear(sd["classifier.4.weight"])
+        p["head_out/bias"] = sd["classifier.4.bias"]
+
+    return {
+        "params": unflatten_path_dict(p),
+        "batch_stats": unflatten_path_dict(s),
+    }
+
+
+def convert_resnet18(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """torchvision resnet18 state dict → variables for models.ResNet18."""
+    p: Dict[str, np.ndarray] = {}
+    s: Dict[str, np.ndarray] = {}
+
+    p["stem_conv/kernel"] = _conv2d(sd["conv1.weight"])
+    _put_bn(p, s, "stem_bn", sd, "bn1")
+
+    for stage in range(4):
+        for block in range(2):
+            t = f"layer{stage + 1}.{block}"
+            f = f"layer{stage + 1}_{block}"
+            for conv in ("conv1", "conv2"):
+                p[f"{f}/{conv}/kernel"] = _conv2d(sd[f"{t}.{conv}.weight"])
+            for bn in ("bn1", "bn2"):
+                _put_bn(p, s, f"{f}/{bn}", sd, f"{t}.{bn}")
+            if f"{t}.downsample.0.weight" in sd:
+                p[f"{f}/downsample_conv/kernel"] = _conv2d(
+                    sd[f"{t}.downsample.0.weight"]
+                )
+                _put_bn(p, s, f"{f}/downsample_bn", sd, f"{t}.downsample.1")
+
+    if "fc.weight" in sd:
+        p["fc/kernel"] = _linear(sd["fc.weight"])
+        p["fc/bias"] = sd["fc.bias"]
+
+    return {
+        "params": unflatten_path_dict(p),
+        "batch_stats": unflatten_path_dict(s),
+    }
+
+
+def load_partial(
+    target_vars: Mapping, source_vars: Mapping,
+    exclude_prefixes: Iterable[str] = (),
+) -> Tuple[dict, list]:
+    """Merge source variables into target, skipping excluded path prefixes
+    and any leaf whose shape mismatches — the reference's warm-start
+    semantics (strict=False + explicit filters). Returns (merged,
+    skipped_paths)."""
+    tgt = flatten_path_dict(target_vars)
+    src = flatten_path_dict(source_vars)
+    skipped = []
+    for k, v in src.items():
+        if any(k.startswith(pref) for pref in exclude_prefixes):
+            skipped.append(k)
+            continue
+        if k not in tgt or tuple(tgt[k].shape) != tuple(np.shape(v)):
+            skipped.append(k)
+            continue
+        tgt[k] = np.asarray(v, dtype=np.asarray(tgt[k]).dtype)
+    return unflatten_path_dict(tgt), skipped
