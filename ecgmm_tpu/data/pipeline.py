@@ -77,18 +77,25 @@ def materialize_trimodal(
     clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :2])
 
     def build(idx: np.ndarray) -> Arrays:
-        sig = ecg_scaler.transform(cohort.signals[idx])
-        if apply_signal_filter:
-            sig = preprocess.preprocess_hospital(sig)
-        clin = clin_scaler.transform(cohort.clinical[idx, :2])
-        if cohort.clinical.shape[1] > 2:
-            clin = jnp.concatenate(
-                [clin, jnp.asarray(cohort.clinical[idx, 2:])], axis=1
-            )
+        # The zero-phase IIR filtering runs in float64 (scipy parity);
+        # TPUs have no f64, so the offline materialisation pass is pinned
+        # to the host CPU backend. Results transfer to the accelerator
+        # once, below.
+        with jax.default_device(jax.devices("cpu")[0]):
+            sig = ecg_scaler.transform(cohort.signals[idx])
+            if apply_signal_filter:
+                sig = preprocess.preprocess_hospital(sig)
+            sig = np.asarray(sig, np.float32)
+            clin = clin_scaler.transform(cohort.clinical[idx, :2])
+            if cohort.clinical.shape[1] > 2:
+                clin = jnp.concatenate(
+                    [clin, jnp.asarray(cohort.clinical[idx, 2:])], axis=1
+                )
+            clin = np.asarray(clin, np.float32)
         return Arrays(
             images=jnp.asarray(cohort.images[idx]),
-            signals=jnp.asarray(sig, jnp.float32),
-            clinical=jnp.asarray(clin, jnp.float32),
+            signals=jnp.asarray(sig),
+            clinical=jnp.asarray(clin),
             labels=jnp.asarray(cohort.labels[idx], jnp.int32),
             indices=cohort.indices[idx],
         )

@@ -36,7 +36,9 @@ class SEBlock1D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
         c = x.shape[-1]
         y = jnp.mean(x, axis=1)  # squeeze: (B, C)
-        y = nn.Dense(c // self.reduction, dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(
+            max(1, c // self.reduction), dtype=self.dtype, name="fc1"
+        )(y)
         y = nn.relu(y)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         y = nn.sigmoid(y)

@@ -1,0 +1,281 @@
+"""Sharded data-parallel training engine.
+
+The reference's implicit single-GPU epoch loop
+(`/root/reference/train.py:55-167`) becomes:
+
+  * ONE jitted train step per workload — forward, loss, backward (only
+    through the trainable partition: frozen encoders cost zero backward
+    FLOPs), optimizer update, BatchNorm-stat update — compiled once over a
+    `Mesh` with the batch sharded on the 'data' axis. Gradient reduction
+    and cross-replica BatchNorm moments are XLA `psum`s over ICI inserted
+    by GSPMD; there is no hand-written collective.
+  * a host loop that only orchestrates: epoch iteration, plateau LR decay
+    (÷10 after 2 stale epochs), early stopping (patience 5), best/last
+    checkpoints, TensorBoard scalars — exactly the reference's control
+    semantics (train.py:142-167), with the counters living inside the
+    checkpointable TrainState.
+
+A workload plugs in as a `Task` (apply/loss/logits callables); see
+ecgmm_tpu/workloads/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ecgmm_tpu.config import TrainConfig
+from ecgmm_tpu.data.pipeline import Arrays, Batch, iterate_batches
+from ecgmm_tpu.parallel import replicate
+from ecgmm_tpu.train import optim as optim_lib
+from ecgmm_tpu.train.checkpoint import CheckpointManager
+from ecgmm_tpu.train.logging import MetricWriter
+from ecgmm_tpu.train.state import TrainState
+from ecgmm_tpu.utils.tree import merge_params
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """Workload contract.
+
+    apply: (variables, batch, train, rngs) -> (outputs, new_model_state)
+           — must pass mutable=['batch_stats'] when train.
+    loss:  (outputs, batch) -> (scalar loss, metrics dict of scalars)
+    logits:(outputs) -> (B, C) classification logits for accuracy.
+    """
+
+    apply: Callable
+    loss: Callable
+    logits: Callable
+
+
+class EvalResult(NamedTuple):
+    loss: float
+    accuracy: float
+    logits: np.ndarray
+    labels: np.ndarray
+    metrics: Dict[str, float]
+
+
+def make_train_step(task: Task, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    def train_step(state: TrainState, batch: Batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(trainable):
+            params = (
+                merge_params(trainable, state.frozen)
+                if state.frozen else trainable
+            )
+            variables = {"params": params, **state.model_state}
+            outputs, new_mstate = task.apply(
+                variables, batch, train=True, rngs={"dropout": rng}
+            )
+            loss, mets = task.loss(outputs, batch)
+            return loss, (mets, new_mstate, outputs)
+
+        (loss, (mets, new_mstate, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        preds = jnp.argmax(task.logits(outputs), axis=-1)
+        correct = jnp.sum(
+            (preds == batch.labels).astype(jnp.float32) * batch.mask
+        )
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.sum(batch.mask),
+            **mets,
+        }
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            trainable=new_trainable,
+            opt_state=new_opt,
+            model_state=new_mstate,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(task: Task):
+    def eval_step(state: TrainState, batch: Batch):
+        variables = {"params": state.params, **state.model_state}
+        outputs, _ = task.apply(variables, batch, train=False, rngs=None)
+        loss, mets = task.loss(outputs, batch)
+        logits = task.logits(outputs)
+        return {
+            "loss": loss,
+            "logits": logits.astype(jnp.float32),
+            "mets": mets,
+        }
+
+    return jax.jit(eval_step)
+
+
+def evaluate(
+    eval_step, state: TrainState, arrays: Arrays, batch_size: int,
+    mesh=None,
+) -> EvalResult:
+    """Full-split eval: batch-averaged loss (the reference averages batch
+    means, train.py:95-113) + gathered logits for host-side AUROC etc."""
+    losses: List[float] = []
+    all_logits, all_labels = [], []
+    extra: Dict[str, List[float]] = {}
+    for batch in iterate_batches(
+        arrays, batch_size, shuffle=False, seed=0, mesh=mesh
+    ):
+        out = eval_step(state, batch)
+        losses.append(float(out["loss"]))
+        keep = np.asarray(batch.mask) > 0
+        all_logits.append(np.asarray(out["logits"])[keep])
+        all_labels.append(np.asarray(batch.labels)[keep])
+        for k, v in out["mets"].items():
+            if np.ndim(v) == 0:  # scalars only (e.g. skip soft_weights)
+                extra.setdefault(k, []).append(float(v))
+
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    acc = float((logits.argmax(-1) == labels).mean())
+    return EvalResult(
+        loss=float(np.mean(losses)),
+        accuracy=acc,
+        logits=logits,
+        labels=labels,
+        metrics={k: float(np.mean(v)) for k, v in extra.items()},
+    )
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: List[Dict[str, float]]
+    best_epoch: int
+    stopped_early: bool
+
+
+def fit(
+    task: Task,
+    state: TrainState,
+    tx: optax.GradientTransformation,
+    train_arrays: Arrays,
+    val_arrays: Arrays,
+    cfg: TrainConfig,
+    mesh=None,
+    ckpt: Optional[CheckpointManager] = None,
+    writer: Optional[MetricWriter] = None,
+    log_prefix: str = "",
+    verbose: bool = True,
+) -> FitResult:
+    """The reference's epoch loop semantics (train.py:55-167), sharded."""
+    train_step = make_train_step(task, tx, donate=cfg.donate_state)
+    eval_step = make_eval_step(task)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    history: List[Dict[str, float]] = []
+    best_epoch = -1
+    stopped_early = False
+    start_epoch = int(state.epoch)
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.perf_counter()
+        train_loss, correct, count = 0.0, 0.0, 0.0
+        n_batches = 0
+        last_mets: Dict[str, Any] = {}
+        for batch in iterate_batches(
+            train_arrays, cfg.batch_size, shuffle=True,
+            seed=cfg.seed, epoch=epoch, mesh=mesh,
+        ):
+            state, mets = train_step(state, batch)
+            train_loss += float(mets["loss"])
+            correct += float(mets["correct"])
+            count += float(mets["count"])
+            n_batches += 1
+            last_mets = mets
+
+        avg_train_loss = train_loss / max(n_batches, 1)
+        train_acc = correct / max(count, 1.0)
+
+        val = evaluate(eval_step, state, val_arrays, cfg.eval_bs, mesh)
+        epoch_time = time.perf_counter() - t0
+
+        scalars = {
+            "Loss/Train": avg_train_loss,
+            "Loss/Val": val.loss,
+            "Accuracy/Train": train_acc,
+            "Accuracy/Val": val.accuracy,
+            "Time/Epoch": epoch_time,
+        }
+        if "var_loss" in val.metrics:
+            scalars["VarLoss/Val"] = val.metrics["var_loss"]
+        if "soft_weights" in last_mets:
+            sw = np.asarray(last_mets["soft_weights"])
+            scalars["AttentionWeights/Image_w"] = float(sw[0])
+            scalars["AttentionWeights/Signal_w"] = float(sw[1])
+            scalars["AttentionWeights/Clinical_w"] = float(sw[2])
+        lr = optim_lib.get_lr(state.opt_state)
+        if lr is not None:
+            scalars["LR"] = lr
+        if writer is not None:
+            writer.scalars(epoch, {log_prefix + k: v for k, v in scalars.items()})
+        history.append(dict(scalars, epoch=epoch))
+        if verbose:
+            print(
+                f"epoch {epoch + 1}/{cfg.num_epochs} "
+                f"train_loss={avg_train_loss:.4f} acc={train_acc:.4f} "
+                f"val_loss={val.loss:.4f} val_acc={val.accuracy:.4f} "
+                f"({epoch_time:.1f}s)"
+            )
+
+        state = dataclasses.replace(
+            state, epoch=jnp.asarray(epoch + 1, jnp.int32)
+        )
+        if ckpt is not None:
+            ckpt.save("last", state)
+
+        # Early stop & plateau LR decay (reference train.py:145-167).
+        if val.loss < float(state.best_val_loss):
+            state = dataclasses.replace(
+                state,
+                best_val_loss=jnp.asarray(val.loss, jnp.float32),
+                early_stop_counter=jnp.zeros((), jnp.int32),
+                lr_reduce_counter=jnp.zeros((), jnp.int32),
+            )
+            best_epoch = epoch
+            if ckpt is not None:
+                ckpt.save("best", state)
+                ckpt.save_epoch(epoch + 1, state)
+        else:
+            state = dataclasses.replace(
+                state,
+                early_stop_counter=state.early_stop_counter + 1,
+                lr_reduce_counter=state.lr_reduce_counter + 1,
+            )
+            if int(state.lr_reduce_counter) >= cfg.plateau_patience:
+                if optim_lib.get_lr(state.opt_state) is not None:
+                    state = dataclasses.replace(
+                        state,
+                        opt_state=optim_lib.scale_lr(
+                            state.opt_state, cfg.plateau_factor
+                        ),
+                        lr_reduce_counter=jnp.zeros((), jnp.int32),
+                    )
+            if int(state.early_stop_counter) >= cfg.patience:
+                stopped_early = True
+                break
+
+    return FitResult(
+        state=state, history=history, best_epoch=best_epoch,
+        stopped_early=stopped_early,
+    )

@@ -1,0 +1,55 @@
+"""Optimizer construction.
+
+Mirrors the reference's effective optimizers: Adam at a constant LR with
+host-driven ÷10 plateau decay (`/root/reference/train.py:43,157-163`), or
+Adam + OneCycle for the signal trainers
+(`/root/reference/train_signal_only.py:234-238`). The learning rate is an
+injected hyperparameter (a device scalar in the optimizer state), so the
+plateau decay is a pure functional state update — no recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+from ecgmm_tpu.config import TrainConfig
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: Optional[int] = None
+                   ) -> optax.GradientTransformation:
+    if cfg.schedule == "onecycle":
+        if not steps_per_epoch:
+            raise ValueError("onecycle needs steps_per_epoch")
+        # torch OneCycleLR defaults (cos anneal, pct_start .3, div 25,
+        # final_div 1e4) == optax.cosine_onecycle_schedule defaults.
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=steps_per_epoch * cfg.num_epochs,
+            peak_value=cfg.onecycle_peak_lr,
+        )
+        tx = optax.adam(learning_rate=sched)
+    elif cfg.schedule == "constant":
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    return tx
+
+
+def get_lr(opt_state) -> Optional[float]:
+    """Current injected learning rate, if the optimizer exposes one."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp and "learning_rate" in hp:
+        return float(hp["learning_rate"])
+    return None
+
+
+def scale_lr(opt_state, factor: float):
+    """LR ← LR × factor (the reference's ÷10-after-2-stale-epochs decay).
+    Only valid for inject_hyperparams optimizers."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = hp["learning_rate"] * factor
+    return opt_state._replace(hyperparams=hp)

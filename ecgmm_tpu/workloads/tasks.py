@@ -1,0 +1,136 @@
+"""Task builders: bind a model + loss to the engine's Task contract.
+
+Each corresponds to a reference trainer family:
+  * signal task — train_signal_only*.py / train_signal_only_ptb.py /
+    train_physionet*.py (ResNet1D-SE or CRNN/Transformer1D, focal loss);
+  * image task — train_image_only.py (ResNet18, CE);
+  * clinical task — the TabNet/MLP pretraining implied by
+    multimodal.py:388's clinical checkpoint;
+  * fusion task — train.py / train_paper_modal_balance.py
+    (CE(fusion) + 0.1·var_loss, frozen encoders).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ecgmm_tpu.config import TrainConfig
+from ecgmm_tpu.data.pipeline import Batch, normalize_images
+from ecgmm_tpu.models.fusion import FusionOutput
+from ecgmm_tpu.train import losses
+from ecgmm_tpu.train.engine import Task
+
+
+def _split_mutable(variables, model_state_keys=("batch_stats",)):
+    return {k: v for k, v in variables.items() if k != "params"}
+
+
+def _make_apply(model, batch_to_inputs: Callable):
+    def apply(variables, batch: Batch, train: bool, rngs):
+        inputs = batch_to_inputs(batch)
+        if train:
+            outputs, mut = model.apply(
+                variables, *inputs, train=True, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            new_mstate = dict(_split_mutable(variables))
+            new_mstate.update(mut)
+            return outputs, new_mstate
+        outputs = model.apply(variables, *inputs, train=False)
+        return outputs, _split_mutable(variables)
+
+    return apply
+
+
+def _classification_loss(loss_name: str, cfg: TrainConfig):
+    base = losses.make_loss_fn(
+        loss_name, alpha=cfg.focal_alpha, gamma=cfg.focal_gamma
+    )
+
+    def loss(outputs, batch: Batch):
+        return base(outputs, batch.labels, batch.mask), {}
+
+    return loss
+
+
+def make_signal_task(model, cfg: TrainConfig) -> Task:
+    def inputs(batch: Batch):
+        x = batch.signals
+        if x.ndim == 2:
+            x = x[..., None]            # (B, T) → (B, T, 1)
+        elif x.shape[1] < x.shape[2]:
+            x = jnp.swapaxes(x, 1, 2)   # (B, C, T) → (B, T, C)
+        return (x,)
+
+    return Task(
+        apply=_make_apply(model, inputs),
+        loss=_classification_loss(cfg.loss, cfg),
+        logits=lambda outputs: outputs,
+    )
+
+
+def make_image_task(model, cfg: TrainConfig) -> Task:
+    def inputs(batch: Batch):
+        return (normalize_images(batch.images),)
+
+    return Task(
+        apply=_make_apply(model, inputs),
+        loss=_classification_loss(cfg.loss, cfg),
+        logits=lambda outputs: outputs,
+    )
+
+
+def make_clinical_task(model, cfg: TrainConfig, num_classes: int = 2) -> Task:
+    """Clinical-encoder pretraining: encoder + linear probe, with the
+    TabNet sparsity loss added when present."""
+    import flax.linen as nn
+
+    class Probe(nn.Module):
+        encoder: nn.Module
+        n_out: int
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            z = self.encoder(x, train=train)
+            m_loss = jnp.float32(0.0)
+            if isinstance(z, tuple):
+                z, m_loss = z
+            return nn.Dense(self.n_out, name="probe")(z), m_loss
+
+    probe = Probe(encoder=model, n_out=num_classes)
+    base = losses.make_loss_fn(cfg.loss, cfg.focal_alpha, cfg.focal_gamma)
+
+    def loss(outputs, batch: Batch):
+        logits, m_loss = outputs
+        return base(logits, batch.labels, batch.mask) + 1e-3 * m_loss, {
+            "m_loss": m_loss
+        }
+
+    return Task(
+        apply=_make_apply(probe, lambda b: (b.clinical,)),
+        loss=loss,
+        logits=lambda outputs: outputs[0],
+    ), probe
+
+
+def make_fusion_task(model, cfg: TrainConfig) -> Task:
+    def inputs(batch: Batch):
+        return (normalize_images(batch.images), batch.signals, batch.clinical)
+
+    def loss(outputs: FusionOutput, batch: Batch):
+        total = losses.fusion_loss(
+            outputs.fusion_logits, batch.labels, outputs.var_loss,
+            batch.mask, var_weight=cfg.var_loss_weight,
+        )
+        return total, {
+            "var_loss": outputs.var_loss,
+            "soft_weights": outputs.soft_weights,
+        }
+
+    return Task(
+        apply=_make_apply(model, inputs),
+        loss=loss,
+        logits=lambda outputs: outputs.fusion_logits,
+    )
