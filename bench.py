@@ -81,19 +81,41 @@ def main():
     )
 
     task = make_fusion_task(model, tcfg)
-    train_step = engine.make_train_step(task, tx, donate=True)
+    train_step = engine.make_train_step(task, tx, donate=False)
 
-    for _ in range(warmup):
-        state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # The whole K-step loop runs inside ONE jit (lax.scan): a single device
+    # dispatch measures pure on-device step time. (Per-dispatch timing is
+    # meaningless on relayed/async backends, which can ACK an enqueue
+    # before execution; a scalar readback below forces a real sync.)
+    def k_steps(k):
+        def body(s, _):
+            s, m = train_step(s, batch)
+            return s, m["loss"]
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+        @jax.jit
+        def run(s):
+            s, losses = jax.lax.scan(body, s, None, length=k)
+            return s, losses[-1]
 
-    samples_per_sec = batch_size * steps / dt
+        return run
+
+    def timed(k, s):
+        run = k_steps(k)
+        s2, loss = run(s)  # compile + warmup
+        _ = float(loss)
+        t0 = time.perf_counter()
+        s2, loss = run(s)
+        _ = float(loss)  # hard sync via scalar readback
+        return time.perf_counter() - t0
+
+    k_small = max(2, steps // 5)
+    dt_small = timed(k_small, state)
+    dt_big = timed(steps, state)
+    # difference cancels the fixed dispatch/readback round-trip latency
+    dt = max(dt_big - dt_small, 1e-9)
+    eff_steps = steps - k_small
+
+    samples_per_sec = batch_size * eff_steps / dt
     per_chip = samples_per_sec / n_chips
     print(json.dumps({
         "metric": "fusion_train_samples_per_sec_per_chip",

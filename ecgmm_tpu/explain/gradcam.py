@@ -1,0 +1,112 @@
+"""Grad-CAM on jax.grad.
+
+The reference repo ships Grad-CAM *artifacts* (gpt/normal_gradcam.png,
+gpt/abnormal_gradcam_15_overlay.png) consumed by the GPT report layer and
+the mobile app heatmap toggle, but contains no generation code anywhere
+(SURVEY.md §0) — the serving backend that produced them is missing. This
+module is that missing piece, implemented natively:
+
+  class-score gradients w.r.t. the last conv feature map → GAP over
+  space/time → channel weights → ReLU-weighted sum → normalised CAM →
+  resized to input resolution.
+
+Works for both the ResNet18 image branch (2-D CAM) and the ResNet1D-SE
+signal branch (1-D CAM over time).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cam_from_feats(feats: jnp.ndarray, grads: jnp.ndarray,
+                    spatial_axes: Tuple[int, ...]) -> jnp.ndarray:
+    weights = jnp.mean(grads, axis=spatial_axes, keepdims=True)
+    cam = jax.nn.relu(jnp.sum(weights * feats, axis=-1))
+    lo = jnp.min(cam, axis=tuple(range(1, cam.ndim)), keepdims=True)
+    hi = jnp.max(cam, axis=tuple(range(1, cam.ndim)), keepdims=True)
+    return (cam - lo) / jnp.maximum(hi - lo, 1e-8)
+
+
+def _head_score(variables, head_name: str, pooled: jnp.ndarray,
+                class_idx: jnp.ndarray) -> jnp.ndarray:
+    p = variables["params"][head_name]
+    s = pooled @ p["kernel"] + p["bias"]
+    return jnp.sum(s[jnp.arange(s.shape[0]), class_idx])
+
+
+def grad_cam_image(
+    model, variables, images: jnp.ndarray,
+    class_idx: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CAM over a ResNet18 classifier. images: (B, H, W, 3) normalised.
+    Returns (cam[B, H, W] in [0,1], logits[B, C])."""
+    logits, feats = model.apply(variables, images, return_features=True)
+    if class_idx is None:
+        class_idx = jnp.argmax(logits, axis=-1)
+
+    def score(f):
+        return _head_score(variables, "fc", jnp.mean(f, axis=(1, 2)),
+                           class_idx)
+
+    grads = jax.grad(score)(feats)
+    cam = _cam_from_feats(feats, grads, spatial_axes=(1, 2))
+    cam = jax.image.resize(
+        cam, (cam.shape[0], images.shape[1], images.shape[2]), "bilinear"
+    )
+    return cam, logits
+
+
+def grad_cam_signal(
+    model, variables, signals: jnp.ndarray,
+    class_idx: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-D CAM over a ResNet1D-SE classifier. signals: (B, T) or (B, T, C).
+    Returns (cam[B, T] in [0,1], logits[B, C]). The head is GAP → Dense
+    64 → ReLU → Dense out; the CAM differentiates the full head so
+    ReLU-path saliency is preserved."""
+    if signals.ndim == 2:
+        signals = signals[..., None]
+    logits, feats = model.apply(variables, signals, return_features=True)
+    if class_idx is None:
+        class_idx = jnp.argmax(logits, axis=-1)
+
+    def score(f):
+        pooled = jnp.mean(f, axis=1)
+        p = variables["params"]
+        h = jax.nn.relu(
+            pooled @ p["head_dense"]["kernel"] + p["head_dense"]["bias"]
+        )
+        s = h @ p["head_out"]["kernel"] + p["head_out"]["bias"]
+        return jnp.sum(s[jnp.arange(s.shape[0]), class_idx])
+
+    grads = jax.grad(score)(feats)
+    cam = _cam_from_feats(feats, grads, spatial_axes=(1,))
+    cam = jax.image.resize(
+        cam, (cam.shape[0], signals.shape[1]), "linear"
+    )
+    return cam, logits
+
+
+def overlay_heatmap(
+    image_u8: np.ndarray, cam: np.ndarray, alpha: float = 0.4
+) -> np.ndarray:
+    """Blend a jet-colormapped CAM over an RGB uint8 image — the artifact
+    format the GPT layer and mobile app consume
+    (gpt/abnormal_gradcam_15_overlay.png; ResultScreen.tsx heatmap)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import colormaps
+
+    heat = (colormaps["jet"](np.asarray(cam))[..., :3] * 255).astype(
+        np.uint8
+    )
+    return (
+        (1 - alpha) * image_u8.astype(np.float32)
+        + alpha * heat.astype(np.float32)
+    ).astype(np.uint8)
