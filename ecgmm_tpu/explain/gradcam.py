@@ -92,6 +92,46 @@ def grad_cam_signal(
     return cam, logits
 
 
+def grad_cam_fusion_image(
+    model, variables, images: jnp.ndarray,
+    class_idx: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CAM through the fusion model's image branch: class score =
+    image_classifier(image_norm(fc(GAP(featmap)))) differentiated w.r.t.
+    the last conv feature map. images: (B, H, W, 3) normalised."""
+    logits_emb, feats = model.apply(
+        variables, images,
+        method=lambda m, img: m.image_encoder(img, return_features=True),
+    )
+    p = variables["params"]
+
+    def branch_logits(f):
+        pooled = jnp.mean(f, axis=(1, 2))
+        fc = p["image_encoder"]["fc"]
+        emb = pooled @ fc["kernel"] + fc["bias"]
+        mu = jnp.mean(emb, -1, keepdims=True)
+        var = jnp.var(emb, -1, keepdims=True)
+        ln = p["image_norm"]
+        emb = (emb - mu) / jnp.sqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        cls = p["image_classifier"]
+        return emb @ cls["kernel"] + cls["bias"]
+
+    logits = branch_logits(feats)
+    if class_idx is None:
+        class_idx = jnp.argmax(logits, axis=-1)
+
+    def score(f):
+        s = branch_logits(f)
+        return jnp.sum(s[jnp.arange(s.shape[0]), class_idx])
+
+    grads = jax.grad(score)(feats)
+    cam = _cam_from_feats(feats, grads, spatial_axes=(1, 2))
+    cam = jax.image.resize(
+        cam, (cam.shape[0], images.shape[1], images.shape[2]), "bilinear"
+    )
+    return cam, logits
+
+
 def overlay_heatmap(
     image_u8: np.ndarray, cam: np.ndarray, alpha: float = 0.4
 ) -> np.ndarray:

@@ -13,3 +13,5 @@ from ecgmm_tpu.models.fusion import (  # noqa: F401
     ECGMultimodalModel,
     FusionOutput,
 )
+from ecgmm_tpu.models.crnn import CRNN  # noqa: F401
+from ecgmm_tpu.models.transformer1d import ECGTransformer1D  # noqa: F401

