@@ -82,6 +82,10 @@ class ModelConfig:
     # (multimodal_paper_modal_balance.py:197-263).
     variant: str = "canonical"
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
+    # Fused Pallas TPU kernels for SE gating + the attention-fusion head
+    # (ops/pallas_se.py, ops/pallas_fusion.py). Off by default; enabled by
+    # TPU presets/bench after the kernels' perf is profiled per shape.
+    use_pallas: bool = False
 
     @staticmethod
     def modal_balance() -> "ModelConfig":

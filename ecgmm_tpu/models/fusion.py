@@ -45,21 +45,44 @@ class FusionOutput(NamedTuple):
     m_loss: jnp.ndarray         # TabNet sparsity loss (0 for MLP variant)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm-compatible params (scale/bias at the same paths as
+    nn.LayerNorm) usable by either the XLA or the Pallas lowering."""
+
+    dim: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+
 class AttentionFusion(nn.Module):
     """Three learnable scalars → softmax → scale each modality chunk →
-    concat → LayerNorm (reference multimodal.py:12-27)."""
+    concat → LayerNorm (reference multimodal.py:12-27). use_pallas
+    selects the single-pass fused TPU kernel (ops/pallas_fusion.py)."""
 
+    dim: int  # total fused width
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.weights = self.param("weights", nn.initializers.ones, (3,))
+        self.norm = _LNParams(self.dim, name="norm")
+
     def __call__(self, img, sig, clin):
-        w = self.param("weights", nn.initializers.ones, (3,))
-        sw = jax.nn.softmax(w)
-        fused = jnp.concatenate(
-            [sw[0] * img, sw[1] * sig, sw[2] * clin], axis=-1
+        from ecgmm_tpu.ops.pallas_fusion import (
+            fused_attention_fusion,
+            reference_attention_fusion,
         )
-        fused = nn.LayerNorm(name="norm")(fused)
-        return fused, sw
+
+        op = fused_attention_fusion if self.use_pallas else (
+            lambda *a: reference_attention_fusion(*a)
+        )
+        return op(
+            img.astype(jnp.float32), sig.astype(jnp.float32),
+            clin.astype(jnp.float32), self.weights,
+            self.norm.scale, self.norm.bias,
+        )
 
 
 def _chunk_variance_loss(img, sig, clin):
@@ -88,6 +111,7 @@ class ECGMultimodalModel(nn.Module):
             input_channels=c.signal_input_channels,
             base_filters=c.signal_base_filters,
             dtype=dtype,
+            use_pallas=c.use_pallas,
             name="signal_encoder",
         )
         if c.clinical_encoder == "tabnet":
@@ -109,7 +133,8 @@ class ECGMultimodalModel(nn.Module):
             c.num_classes, name="clinical_classifier"
         )
         self.attention_fusion = AttentionFusion(
-            dtype=dtype, name="attention_fusion"
+            dim=c.image_dim + c.signal_dim + c.clinical_dim,
+            dtype=dtype, use_pallas=c.use_pallas, name="attention_fusion"
         )
         self.fusion_hidden = nn.Dense(
             c.fusion_hidden, dtype=dtype, name="fusion_hidden"

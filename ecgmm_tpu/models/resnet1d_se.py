@@ -25,23 +25,52 @@ Dtype = Any
 BN_KW = dict(epsilon=1e-5, momentum=0.9)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible params without binding a forward — lets
+    the caller choose the XLA or Pallas lowering over the same param
+    paths (kernel/bias, matching nn.Dense and the .pth converter)."""
+
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,)
+        )
+
+
 class SEBlock1D(nn.Module):
     """Squeeze-and-Excitation channel gating, reduction 16
-    (reference signal_model.py:12-27)."""
+    (reference signal_model.py:12-27). use_pallas selects the fused
+    VMEM-resident TPU kernel (ops/pallas_se.py)."""
 
+    channels: int
     reduction: int = 16
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        c = self.channels
+        r = max(1, c // self.reduction)
+        self.fc1 = _DenseParams(c, r, name="fc1")
+        self.fc2 = _DenseParams(r, c, name="fc2")
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
-        c = x.shape[-1]
+        w1 = self.fc1.kernel.astype(self.dtype)
+        b1 = self.fc1.bias.astype(self.dtype)
+        w2 = self.fc2.kernel.astype(self.dtype)
+        b2 = self.fc2.bias.astype(self.dtype)
+        if self.use_pallas:
+            from ecgmm_tpu.ops.pallas_se import fused_se
+
+            return fused_se(x, w1, b1, w2, b2)
         y = jnp.mean(x, axis=1)  # squeeze: (B, C)
-        y = nn.Dense(
-            max(1, c // self.reduction), dtype=self.dtype, name="fc1"
-        )(y)
-        y = nn.relu(y)
-        y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
-        y = nn.sigmoid(y)
+        y = nn.relu(y @ w1 + b1)
+        y = nn.sigmoid(y @ w2 + b2)
         return x * y[:, None, :]
 
 
@@ -53,6 +82,7 @@ class BasicBlock1D(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -73,7 +103,10 @@ class BasicBlock1D(nn.Module):
         out = nn.BatchNorm(
             use_running_average=not train, name="bn2", **BN_KW
         )(out)
-        out = SEBlock1D(dtype=self.dtype, name="se")(out)
+        out = SEBlock1D(
+            self.features, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="se",
+        )(out)
         if x.shape[-1] != self.features or self.stride != 1:
             identity = nn.Conv(
                 self.features, (1,), strides=(self.stride,),
@@ -98,6 +131,7 @@ class ResNet1DSE(nn.Module):
     base_filters: int = 64
     dropout: float = 0.3
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -117,12 +151,16 @@ class ResNet1DSE(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3,), strides=(2,), padding=[(1, 1)])
 
-        x = BasicBlock1D(f, dtype=self.dtype, name="layer1")(x, train)
-        x = BasicBlock1D(f * 2, stride=2, dtype=self.dtype, name="layer2")(
-            x, train
-        )
+        x = BasicBlock1D(
+            f, dtype=self.dtype, use_pallas=self.use_pallas, name="layer1"
+        )(x, train)
+        x = BasicBlock1D(
+            f * 2, stride=2, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="layer2",
+        )(x, train)
         feats_t = BasicBlock1D(
-            f * 4, stride=2, dtype=self.dtype, name="layer3"
+            f * 4, stride=2, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="layer3",
         )(x, train)
 
         x = jnp.mean(feats_t, axis=1)  # global average pool → (B, 4f)
