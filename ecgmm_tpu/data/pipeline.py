@@ -76,15 +76,29 @@ def materialize_trimodal(
     ecg_scaler = preprocess.Scaler.fit(cohort.signals[sp.train])
     clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :2])
 
+    def _filter_signals(sig_np: np.ndarray) -> np.ndarray:
+        # Prefer the threaded C++ engine (ecgmm_tpu/native, scipy-exact);
+        # fall back to the JAX lax.scan implementation on CPU.
+        try:
+            from ecgmm_tpu import native
+
+            if native.available():
+                return native.preprocess_hospital(sig_np).astype(np.float32)
+        except Exception:
+            pass
+        return np.asarray(
+            preprocess.preprocess_hospital(jnp.asarray(sig_np)), np.float32
+        )
+
     def build(idx: np.ndarray) -> Arrays:
         # The zero-phase IIR filtering runs in float64 (scipy parity);
         # TPUs have no f64, so the offline materialisation pass is pinned
         # to the host CPU backend. Results transfer to the accelerator
         # once, below.
         with jax.default_device(jax.devices("cpu")[0]):
-            sig = ecg_scaler.transform(cohort.signals[idx])
+            sig = np.asarray(ecg_scaler.transform(cohort.signals[idx]))
             if apply_signal_filter:
-                sig = preprocess.preprocess_hospital(sig)
+                sig = _filter_signals(sig)
             sig = np.asarray(sig, np.float32)
             clin = clin_scaler.transform(cohort.clinical[idx, :2])
             if cohort.clinical.shape[1] > 2:
