@@ -227,6 +227,39 @@ def physionet_multi_preset() -> Config:
     )
 
 
+def signal_af_preset() -> Config:
+    """AF-vs-rest tiny-positive task (reference train_signal_only_af.py:
+    manual split, 2 positive train samples)."""
+    return dataclasses.replace(signal_only_preset(), name="signal_af")
+
+
+def signal_arr_preset() -> Config:
+    """Arrhythmia(1) vs Abnormal(0) (reference train_signal_only_arr.py)."""
+    return dataclasses.replace(signal_only_preset(), name="signal_arr")
+
+
+def signal_12lead_preset() -> Config:
+    """12-lead AF task (reference train_signal_12_af.py:246:
+    ResNet1D_SE(input_channels=12))."""
+    return dataclasses.replace(
+        signal_only_preset(),
+        name="signal_12lead",
+        model=ModelConfig(signal_input_channels=12),
+    )
+
+
+def physionet_crnn_preset() -> Config:
+    """Spectrogram CRNN on PhysioNet (reference train_physionet2.py)."""
+    return dataclasses.replace(physionet_preset(), name="physionet_crnn")
+
+
+def physionet_transformer_preset() -> Config:
+    """1-D Transformer on PhysioNet (reference train_physionet.py:211)."""
+    return dataclasses.replace(
+        physionet_preset(), name="physionet_transformer"
+    )
+
+
 PRESETS = {
     "fusion": fusion_preset,
     "fusion_modal_balance": fusion_modal_balance_preset,
@@ -235,6 +268,11 @@ PRESETS = {
     "ptbxl_af": ptbxl_preset,
     "physionet": physionet_preset,
     "physionet_multi": physionet_multi_preset,
+    "signal_af": signal_af_preset,
+    "signal_arr": signal_arr_preset,
+    "signal_12lead": signal_12lead_preset,
+    "physionet_crnn": physionet_crnn_preset,
+    "physionet_transformer": physionet_transformer_preset,
 }
 
 

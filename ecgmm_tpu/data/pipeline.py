@@ -123,6 +123,49 @@ def materialize_trimodal(
     )
 
 
+def materialize_signal(
+    signals: np.ndarray,
+    labels: np.ndarray,
+    split: splits.Split,
+    preprocess_fn=None,
+    spectrogram: bool = False,
+) -> "MaterializedData":
+    """Signal-only task materialization (train_signal_only*.py /
+    train_physionet*.py / train_signal_only_ptb.py families).
+
+    preprocess_fn: host-side (N, ..., T) -> (N, ..., T') applied per
+    split. spectrogram converts to log-STFT images for the CRNN
+    (train_physionet2.py)."""
+    from ecgmm_tpu.ops.spectrogram import log_spectrogram
+
+    def build(idx: np.ndarray) -> Arrays:
+        with jax.default_device(jax.devices("cpu")[0]):
+            sig = signals[idx]
+            if preprocess_fn is not None:
+                sig = np.asarray(preprocess_fn(sig), np.float32)
+            if spectrogram:
+                sig = np.asarray(
+                    log_spectrogram(jnp.asarray(sig, jnp.float32)),
+                    np.float32,
+                )
+        return Arrays(
+            images=None,
+            signals=jnp.asarray(sig, jnp.float32),
+            clinical=None,
+            labels=jnp.asarray(labels[idx], jnp.int32),
+            indices=np.asarray(idx),
+        )
+
+    ident = preprocess.Scaler(np.zeros(1), np.ones(1))
+    return MaterializedData(
+        train=build(split.train),
+        val=build(split.val),
+        test=build(split.test),
+        ecg_scaler=ident,
+        clinical_scaler=ident,
+    )
+
+
 class Batch(NamedTuple):
     images: Optional[jnp.ndarray]
     signals: Optional[jnp.ndarray]
@@ -152,17 +195,28 @@ def iterate_batches(
     epoch: int = 0,
     mesh=None,
     drop_remainder: bool = False,
+    sample_weights: Optional[np.ndarray] = None,
 ) -> Iterator[Batch]:
     """Host-side index iteration over device-resident arrays.
 
     Gathers batch slices on device via jnp.take (a device-side gather from
     HBM — no host copies), then constrains the result to the 'data'
     sharding so downstream jit sees sharded inputs.
+
+    sample_weights enables weighted sampling WITH replacement — the
+    reference's WeightedRandomSampler class balancing
+    (train_signal_only_ptb.py:230-241).
     """
     n = arrays.n
-    order = np.arange(n)
-    if shuffle:
-        np.random.RandomState(seed + epoch).shuffle(order)
+    rng_host = np.random.RandomState(seed + epoch)
+    if sample_weights is not None:
+        p = np.asarray(sample_weights, np.float64)
+        p = p / p.sum()
+        order = rng_host.choice(n, size=n, replace=True, p=p)
+    else:
+        order = np.arange(n)
+        if shuffle:
+            rng_host.shuffle(order)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     for start in range(0, n, batch_size):

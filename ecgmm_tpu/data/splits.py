@@ -106,22 +106,23 @@ def exhaustive_fold_pairs(
 def manual_af_split(
     labels: np.ndarray, seed: int = 42
 ) -> Split:
-    """Tiny-positive AF regime: AF samples split 2/2/2, Normal 68/22/rest
-    (reference train_signal_only_af.py:95-112). Degenerate by design —
-    preserved so downstream metric NaN-handling is exercised."""
+    """Tiny-positive AF regime (reference train_signal_only_af.py:95-112):
+    shuffled AF positives go 2 to train and the REST to test (none in
+    val); negatives go 68 train / 22 val / rest test. Degenerate by
+    design — preserved so downstream metric NaN-handling is exercised.
+    Uses one np.random.seed stream for both shuffles, like the
+    reference."""
     rng = np.random.RandomState(seed)
-    af_idx = np.where(labels == 1)[0]
-    neg_idx = np.where(labels == 0)[0]
+    af_idx = np.where(labels == 1)[0].copy()
+    neg_idx = np.where(labels == 0)[0].copy()
     rng.shuffle(af_idx)
     rng.shuffle(neg_idx)
-    n_af = len(af_idx)
-    a, b = n_af // 3, 2 * (n_af // 3)
     n_train_neg = min(68, len(neg_idx))
     n_val_neg = min(22, max(0, len(neg_idx) - n_train_neg))
     return Split(
-        train=np.concatenate([af_idx[:a], neg_idx[:n_train_neg]]),
-        val=np.concatenate(
-            [af_idx[a:b], neg_idx[n_train_neg:n_train_neg + n_val_neg]]
+        train=np.concatenate([af_idx[:2], neg_idx[:n_train_neg]]),
+        val=neg_idx[n_train_neg:n_train_neg + n_val_neg],
+        test=np.concatenate(
+            [af_idx[2:], neg_idx[n_train_neg + n_val_neg:]]
         ),
-        test=np.concatenate([af_idx[b:], neg_idx[n_train_neg + n_val_neg:]]),
     )

@@ -144,6 +144,12 @@ def evaluate(
             if np.ndim(v) == 0:  # scalars only (e.g. skip soft_weights)
                 extra.setdefault(k, []).append(float(v))
 
+    if not all_logits:  # empty split (e.g. the degenerate AF val set)
+        return EvalResult(
+            loss=float("nan"), accuracy=float("nan"),
+            logits=np.zeros((0, 2), np.float32),
+            labels=np.zeros((0,), np.int64), metrics={},
+        )
     logits = np.concatenate(all_logits)
     labels = np.concatenate(all_labels)
     acc = float((logits.argmax(-1) == labels).mean())
@@ -176,6 +182,7 @@ def fit(
     writer: Optional[MetricWriter] = None,
     log_prefix: str = "",
     verbose: bool = True,
+    train_sample_weights: Optional[np.ndarray] = None,
 ) -> FitResult:
     """The reference's epoch loop semantics (train.py:55-167), sharded."""
     train_step = make_train_step(task, tx, donate=cfg.donate_state)
@@ -196,6 +203,7 @@ def fit(
         for batch in iterate_batches(
             train_arrays, cfg.batch_size, shuffle=True,
             seed=cfg.seed, epoch=epoch, mesh=mesh,
+            sample_weights=train_sample_weights,
         ):
             state, mets = train_step(state, batch)
             train_loss += float(mets["loss"])

@@ -94,9 +94,9 @@ def test_report(
                               num_classes)
         )
 
-    report_txt = M.classification_report(
-        preds, labels, num_classes, list(class_names)[:num_classes]
-    )
+    names = list(class_names)[:num_classes]
+    names += [f"class{i}" for i in range(len(names), num_classes)]
+    report_txt = M.classification_report(preds, labels, num_classes, names)
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         cm = M.confusion_matrix(preds, labels, num_classes)

@@ -40,6 +40,10 @@ from ecgmm_tpu.workloads.tasks import (
 
 def build_model_and_task(cfg: Config):
     """Model + task + init-args for the preset's workload family."""
+    from ecgmm_tpu.models import CRNN, ECGTransformer1D
+    from ecgmm_tpu.ops.spectrogram import log_spectrogram
+    from ecgmm_tpu.workloads.tasks import make_spectrogram_task
+
     t = cfg.train
     if cfg.name.startswith("fusion"):
         model = ECGMultimodalModel(cfg=cfg.model)
@@ -57,7 +61,20 @@ def build_model_and_task(cfg: Config):
             jnp.ones((1, cfg.data.img_height, cfg.data.img_width, 3)),
         )
         freeze = None
-    else:  # signal families
+    elif cfg.name == "physionet_crnn":
+        model = CRNN(num_classes=cfg.model.num_classes)
+        task = make_spectrogram_task(model, t)
+        spec = log_spectrogram(jnp.ones((1, cfg.data.signal_len)))
+        init_args = (spec,)
+        freeze = None
+    elif cfg.name == "physionet_transformer":
+        model = ECGTransformer1D(
+            num_classes=cfg.model.num_classes, seq_len=cfg.data.signal_len
+        )
+        task = make_signal_task(model, t)
+        init_args = (jnp.ones((1, cfg.data.signal_len, 1)),)
+        freeze = None
+    else:  # ResNet1D-SE signal families
         model = ResNet1DSE(
             num_classes=cfg.model.num_classes,
             input_channels=cfg.model.signal_input_channels,
@@ -70,12 +87,132 @@ def build_model_and_task(cfg: Config):
     return model, task, init_args, freeze
 
 
+def _signal_task_data(cfg: Config, source: str, n_synth: int
+                      ) -> pipeline.MaterializedData:
+    """Dataset assembly for the signal-only families: real files when a
+    data dir is present, the deterministic synthetic cohort otherwise.
+    Each preset reproduces its reference trainer's label map, split
+    policy and preprocessing."""
+    from ecgmm_tpu.data import preprocess, sources, splits
+
+    seed = cfg.train.seed
+    rng = np.random.default_rng(seed)
+
+    def synth_signals(n, t):
+        return synthetic.make_cohort(
+            n=n, signal_len=t, img_hw=(16, 32), seed=seed
+        )
+
+    if cfg.name == "ptbxl_af":
+        manifest_ok = source != "synthetic" and os.path.exists(
+            os.path.join(cfg.data.ptbxl_dir, "ptbxl_database.csv")
+        )
+        if manifest_ok:
+            mani = sources.load_ptbxl_manifest(cfg.data.ptbxl_dir)
+            raw = np.stack([
+                sources.read_wfdb(r, channels=[1])[0][:, 0]
+                for r in mani["record"]
+            ])
+            labels = mani["label"].to_numpy()
+        else:
+            c = synth_signals(n_synth, 2 * cfg.data.signal_len)  # @500 Hz
+            raw, labels = c.signals, c.labels
+        split = splits.stratified_622(labels, seed)
+        data = pipeline.materialize_signal(
+            raw, labels, split,
+            preprocess_fn=lambda s: preprocess.preprocess_ptbxl(
+                jnp.asarray(s, jnp.float32)
+            ),
+        )
+        return data
+
+    if cfg.name.startswith("physionet"):
+        multiclass = cfg.model.num_classes > 2
+        have = source != "synthetic" and os.path.exists(
+            os.path.join(cfg.data.physionet_dir, "REFERENCE.csv")
+        )
+        if have:
+            mani = sources.load_physionet_manifest(
+                cfg.data.physionet_dir, multiclass=multiclass
+            )
+            sigs = []
+            for r in mani["record"]:
+                s = sources.read_wfdb(r)[0][:, 0]
+                sigs.append(np.asarray(
+                    preprocess.pad_or_crop(
+                        jnp.asarray(s, jnp.float32), cfg.data.signal_len
+                    )
+                ))
+            raw = np.stack(sigs)
+            labels = mani["label"].to_numpy()
+        else:
+            c = synth_signals(n_synth, cfg.data.signal_len)
+            raw, labels = c.signals, c.labels
+            if multiclass:
+                labels = rng.integers(0, 3, len(labels))
+        split = (
+            splits.stratified_712(labels, seed) if multiclass
+            else splits.stratified_811(labels, seed)
+        )
+        return pipeline.materialize_signal(
+            raw, labels, split,
+            preprocess_fn=lambda s: preprocess.preprocess_physionet(
+                jnp.asarray(s, jnp.float32)
+            ),
+            spectrogram=(cfg.name == "physionet_crnn"),
+        )
+
+    if cfg.name == "signal_af":
+        # exactly 6 AF positives (reference train_signal_only_af.py:93)
+        c = synth_signals(max(n_synth, 60), cfg.data.signal_len)
+        labels = np.zeros(len(c.labels), np.int64)
+        labels[rng.choice(len(labels), 6, replace=False)] = 1
+        split = splits.manual_af_split(labels, seed)
+        return pipeline.materialize_signal(
+            c.signals, labels, split,
+            preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+                jnp.asarray(s, jnp.float32)
+            )),
+        )
+
+    if cfg.name == "signal_12lead":
+        c = synth_signals(n_synth, cfg.data.signal_len)
+        lead_gain = rng.uniform(0.5, 1.5, (1, 12, 1)).astype(np.float32)
+        raw = c.signals[:, None, :] * lead_gain  # (N, 12, T)
+        split = splits.stratified_811(c.labels, seed)
+        return pipeline.materialize_signal(
+            raw, c.labels, split,
+            preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+                jnp.asarray(s, jnp.float32)
+            )),
+        )
+
+    # signal_arr and plain signal tasks: binary stratified 8:1:1
+    c = synth_signals(n_synth, cfg.data.signal_len)
+    split = splits.stratified_811(c.labels, seed)
+    return pipeline.materialize_signal(
+        c.signals, c.labels, split,
+        preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+            jnp.asarray(s, jnp.float32)
+        )),
+    )
+
+
+SIGNAL_FAMILIES = (
+    "ptbxl_af", "physionet", "physionet_multi", "physionet_crnn",
+    "physionet_transformer", "signal_af", "signal_arr", "signal_12lead",
+)
+
+
 def load_data(cfg: Config, source: str, n_synth: int) -> pipeline.MaterializedData:
+    if cfg.name in SIGNAL_FAMILIES:
+        return _signal_task_data(cfg, source, n_synth)
     if source == "synthetic":
         cohort = synthetic.make_cohort(
             n=n_synth,
             signal_len=cfg.data.signal_len,
             img_hw=(cfg.data.img_height, cfg.data.img_width),
+            n_clinical=cfg.model.clinical_in_features,
             seed=cfg.train.seed,
         )
         return pipeline.materialize_trimodal(cohort, cfg)
@@ -134,9 +271,17 @@ def run(cfg: Config, data: pipeline.MaterializedData,
 
     ckpt = CheckpointManager(run_dir, keep_epochs=t.keep_checkpoints)
     writer = MetricWriter(os.path.join(t.log_dir, stamp))
+    # inverse-class-frequency weighted sampling for the PTB-XL task
+    # (reference train_signal_only_ptb.py:230-241)
+    weights = None
+    if cfg.name == "ptbxl_af":
+        lab = np.asarray(data.train.labels)
+        counts = np.bincount(lab, minlength=cfg.model.num_classes)
+        weights = (1.0 / np.maximum(counts, 1))[lab]
     result = engine.fit(
         task, state, tx, data.train, data.val, t,
         mesh=mesh, ckpt=ckpt, writer=writer, verbose=verbose,
+        train_sample_weights=weights,
     )
 
     # Test protocol: best then last (reference train.py:174-336).

@@ -115,6 +115,16 @@ def make_clinical_task(model, cfg: TrainConfig, num_classes: int = 2) -> Task:
     ), probe
 
 
+def make_spectrogram_task(model, cfg: TrainConfig) -> Task:
+    """CRNN over precomputed log-spectrograms stored in Batch.signals as
+    (B, F, T) (reference train_physionet2.py)."""
+    return Task(
+        apply=_make_apply(model, lambda b: (b.signals,)),
+        loss=_classification_loss(cfg.loss, cfg),
+        logits=lambda outputs: outputs,
+    )
+
+
 def make_fusion_task(model, cfg: TrainConfig) -> Task:
     def inputs(batch: Batch):
         return (normalize_images(batch.images), batch.signals, batch.clinical)
