@@ -129,6 +129,7 @@ class TrainConfig:
     output_dir: str = "./output"
     keep_checkpoints: int = 3
     eval_batch_size: int = 0  # 0 = same as batch_size
+    debug_nans: bool = False  # trap NaNs inside jitted steps
     # CV settings (reference config.py:39-40)
     k_outer: int = 5
     k_inner: int = 3

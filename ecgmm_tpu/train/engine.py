@@ -63,49 +63,163 @@ class EvalResult(NamedTuple):
     metrics: Dict[str, float]
 
 
+def _train_step_core(task: Task, tx: optax.GradientTransformation,
+                     state: TrainState, batch: Batch):
+    rng = jax.random.fold_in(state.rng, state.step)
+
+    def loss_fn(trainable):
+        params = (
+            merge_params(trainable, state.frozen)
+            if state.frozen else trainable
+        )
+        variables = {"params": params, **state.model_state}
+        outputs, new_mstate = task.apply(
+            variables, batch, train=True, rngs={"dropout": rng}
+        )
+        loss, mets = task.loss(outputs, batch)
+        return loss, (mets, new_mstate, outputs)
+
+    (loss, (mets, new_mstate, outputs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.trainable)
+    updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+    new_trainable = optax.apply_updates(state.trainable, updates)
+
+    preds = jnp.argmax(task.logits(outputs), axis=-1)
+    correct = jnp.sum(
+        (preds == batch.labels).astype(jnp.float32) * batch.mask
+    )
+    metrics = {
+        "loss": loss,
+        "correct": correct,
+        "count": jnp.sum(batch.mask),
+        **mets,
+    }
+    new_state = dataclasses.replace(
+        state,
+        step=state.step + 1,
+        trainable=new_trainable,
+        opt_state=new_opt,
+        model_state=new_mstate,
+    )
+    return new_state, metrics
+
+
 def make_train_step(task: Task, tx: optax.GradientTransformation,
                     donate: bool = True):
     def train_step(state: TrainState, batch: Batch):
-        rng = jax.random.fold_in(state.rng, state.step)
-
-        def loss_fn(trainable):
-            params = (
-                merge_params(trainable, state.frozen)
-                if state.frozen else trainable
-            )
-            variables = {"params": params, **state.model_state}
-            outputs, new_mstate = task.apply(
-                variables, batch, train=True, rngs={"dropout": rng}
-            )
-            loss, mets = task.loss(outputs, batch)
-            return loss, (mets, new_mstate, outputs)
-
-        (loss, (mets, new_mstate, outputs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.trainable)
-        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
-        new_trainable = optax.apply_updates(state.trainable, updates)
-
-        preds = jnp.argmax(task.logits(outputs), axis=-1)
-        correct = jnp.sum(
-            (preds == batch.labels).astype(jnp.float32) * batch.mask
-        )
-        metrics = {
-            "loss": loss,
-            "correct": correct,
-            "count": jnp.sum(batch.mask),
-            **mets,
-        }
-        new_state = dataclasses.replace(
-            state,
-            step=state.step + 1,
-            trainable=new_trainable,
-            opt_state=new_opt,
-            model_state=new_mstate,
-        )
-        return new_state, metrics
+        return _train_step_core(task, tx, state, batch)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _gather_batch(arrays: Arrays, idx: jnp.ndarray, mask: jnp.ndarray,
+                  sharding) -> Batch:
+    def take(a):
+        if a is None:
+            return None
+        out = jnp.take(a, idx, axis=0)
+        if sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, sharding)
+        return out
+
+    return Batch(
+        images=take(arrays.images),
+        signals=take(arrays.signals),
+        clinical=take(arrays.clinical),
+        labels=take(arrays.labels),
+        mask=mask,
+    )
+
+
+def make_train_epoch(task: Task, tx: optax.GradientTransformation,
+                     arrays: Arrays, mesh=None, donate: bool = True):
+    """Whole-epoch jitted step: a lax.scan over batches gathered on device
+    from the materialised arrays. ONE dispatch per epoch — per-batch
+    Python dispatch latency (significant on relayed/async backends)
+    disappears, and XLA overlaps the gather of batch i+1 with the compute
+    of batch i."""
+    from ecgmm_tpu.parallel import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def epoch_fn(state: TrainState, idx_mat: jnp.ndarray,
+                 mask_mat: jnp.ndarray):
+        def body(st, im):
+            idx, mask = im
+            batch = _gather_batch(arrays, idx, mask, sharding)
+            st, mets = _train_step_core(task, tx, st, batch)
+            return st, mets
+
+        state, mets = jax.lax.scan(body, state, (idx_mat, mask_mat))
+        # reduce per-batch metrics on device; keep the last soft_weights
+        out = {
+            "loss_sum": jnp.sum(mets["loss"]),
+            "correct": jnp.sum(mets["correct"]),
+            "count": jnp.sum(mets["count"]),
+        }
+        if "soft_weights" in mets:
+            out["soft_weights"] = mets["soft_weights"][-1]
+        if "var_loss" in mets:
+            out["var_loss"] = jnp.mean(mets["var_loss"])
+        return state, out
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
+    """Whole-split jitted eval: scan over batches, stacked logits out."""
+    from ecgmm_tpu.parallel import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def epoch_fn(state: TrainState, idx_mat, mask_mat):
+        variables = {"params": state.params, **state.model_state}
+
+        def body(_, im):
+            idx, mask = im
+            batch = _gather_batch(arrays, idx, mask, sharding)
+            outputs, _ = task.apply(variables, batch, train=False, rngs=None)
+            loss, mets = task.loss(outputs, batch)
+            scalars = {
+                k: v for k, v in mets.items() if getattr(v, "ndim", 0) == 0
+            }
+            return None, (
+                loss, task.logits(outputs).astype(jnp.float32),
+                batch.labels, scalars,
+            )
+
+        _, (losses, logits, labels, mets) = jax.lax.scan(
+            body, None, (idx_mat, mask_mat)
+        )
+        return losses, logits, labels, mets
+
+    return jax.jit(epoch_fn)
+
+
+def epoch_indices(
+    n: int, batch_size: int, *, shuffle: bool, seed: int, epoch: int,
+    sample_weights: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side epoch plan: (n_batches, bs) index matrix + pad mask."""
+    rng = np.random.RandomState(seed + epoch)
+    if sample_weights is not None:
+        p = np.asarray(sample_weights, np.float64)
+        p = p / p.sum()
+        order = rng.choice(n, size=n, replace=True, p=p)
+    else:
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+    n_batches = -(-n // batch_size)
+    padded = n_batches * batch_size
+    mask = np.zeros(padded, np.float32)
+    mask[:n] = 1.0
+    full = np.concatenate([order, np.zeros(padded - n, np.int64)])
+    return (
+        full.reshape(n_batches, batch_size).astype(np.int32),
+        mask.reshape(n_batches, batch_size),
+    )
 
 
 def make_eval_step(task: Task):
@@ -185,10 +299,23 @@ def fit(
     train_sample_weights: Optional[np.ndarray] = None,
 ) -> FitResult:
     """The reference's epoch loop semantics (train.py:55-167), sharded."""
-    train_step = make_train_step(task, tx, donate=cfg.donate_state)
-    eval_step = make_eval_step(task)
+    if cfg.debug_nans:
+        # jit purity makes data races structural non-issues; numeric
+        # faults are the failure mode worth trapping (SURVEY.md §5).
+        jax.config.update("jax_debug_nans", True)
+    train_epoch = make_train_epoch(
+        task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
+    )
+    eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
     if mesh is not None:
         state = replicate(state, mesh)
+
+    # fixed validation plan (no shuffle) — computed once
+    if val_arrays.n > 0:
+        vidx, vmask = epoch_indices(
+            val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
+        )
+        vidx, vmask = jnp.asarray(vidx), jnp.asarray(vmask)
 
     history: List[Dict[str, float]] = []
     best_epoch = -1
@@ -197,25 +324,42 @@ def fit(
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
-        train_loss, correct, count = 0.0, 0.0, 0.0
-        n_batches = 0
-        last_mets: Dict[str, Any] = {}
-        for batch in iterate_batches(
-            train_arrays, cfg.batch_size, shuffle=True,
-            seed=cfg.seed, epoch=epoch, mesh=mesh,
-            sample_weights=train_sample_weights,
-        ):
-            state, mets = train_step(state, batch)
-            train_loss += float(mets["loss"])
-            correct += float(mets["correct"])
-            count += float(mets["count"])
-            n_batches += 1
-            last_mets = mets
+        idx, mask = epoch_indices(
+            train_arrays.n, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            epoch=epoch, sample_weights=train_sample_weights,
+        )
+        n_batches = idx.shape[0]
+        # ONE device dispatch for the whole training epoch (lax.scan)
+        state, tm = train_epoch(state, jnp.asarray(idx), jnp.asarray(mask))
 
-        avg_train_loss = train_loss / max(n_batches, 1)
-        train_acc = correct / max(count, 1.0)
+        avg_train_loss = float(tm["loss_sum"]) / max(n_batches, 1)
+        train_acc = float(tm["correct"]) / max(float(tm["count"]), 1.0)
+        last_mets: Dict[str, Any] = tm
 
-        val = evaluate(eval_step, state, val_arrays, cfg.eval_bs, mesh)
+        if val_arrays.n > 0:
+            vlosses, vlogits, vlabels, vmets = eval_epoch(state, vidx, vmask)
+            keep = np.asarray(vmask).reshape(-1) > 0
+            flat_logits = np.asarray(vlogits).reshape(
+                -1, vlogits.shape[-1]
+            )[keep]
+            flat_labels = np.asarray(vlabels).reshape(-1)[keep]
+            val = EvalResult(
+                loss=float(jnp.mean(vlosses)),
+                accuracy=float(
+                    (flat_logits.argmax(-1) == flat_labels).mean()
+                ),
+                logits=flat_logits,
+                labels=flat_labels,
+                metrics={
+                    k: float(np.mean(np.asarray(v)))
+                    for k, v in vmets.items()
+                },
+            )
+        else:
+            val = EvalResult(
+                float("nan"), float("nan"),
+                np.zeros((0, 2), np.float32), np.zeros((0,), np.int64), {},
+            )
         epoch_time = time.perf_counter() - t0
 
         scalars = {

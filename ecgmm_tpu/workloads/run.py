@@ -255,7 +255,8 @@ def load_data(cfg: Config, source: str, n_synth: int) -> pipeline.MaterializedDa
 
 
 def run(cfg: Config, data: pipeline.MaterializedData,
-        run_dir: Optional[str] = None, verbose: bool = True):
+        run_dir: Optional[str] = None, verbose: bool = True,
+        resume: bool = False):
     t = cfg.train
     stamp = time.strftime("%m%d_%H%M%S")
     run_dir = run_dir or os.path.join(t.checkpoint_dir, stamp)
@@ -270,6 +271,13 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     )
 
     ckpt = CheckpointManager(run_dir, keep_epochs=t.keep_checkpoints)
+    if resume and ckpt.exists("last"):
+        # exact resume: params, optimizer state, PRNG, epoch/step and the
+        # early-stop/plateau counters all come back (the reference loses
+        # everything but weights on restart, train.py:142)
+        state = ckpt.restore("last", state)
+        if verbose:
+            print(f"resumed from {run_dir} at epoch {int(state.epoch)}")
     writer = MetricWriter(os.path.join(t.log_dir, stamp))
     # inverse-class-frequency weighted sampling for the PTB-XL task
     # (reference train_signal_only_ptb.py:230-241)
@@ -312,6 +320,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n-synth", type=int, default=128)
     p.add_argument("--run-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from --run-dir's last checkpoint")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -332,7 +342,7 @@ def main(argv=None):
         )
 
     data = load_data(cfg, args.data, args.n_synth)
-    run(cfg, data)
+    run(cfg, data, run_dir=args.run_dir, resume=args.resume)
 
 
 if __name__ == "__main__":

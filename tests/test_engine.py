@@ -110,15 +110,25 @@ def test_plateau_and_early_stop(small_data, monkeypatch, mesh8):
     model, tx, state = _signal_setup(cfg)
     task = make_signal_task(model, cfg)
 
-    # Force a non-improving validation loss after epoch 0.
+    # Force a non-improving validation loss after epoch 0 by stubbing the
+    # jitted eval-epoch factory.
+    import jax.numpy as jnp
+
     seq = iter([1.0] + [2.0] * 20)
-    real_evaluate = engine.evaluate
 
-    def fake_evaluate(eval_step, st, arrays, bs, mesh=None):
-        r = real_evaluate(eval_step, st, arrays, bs, mesh)
-        return r._replace(loss=next(seq))
+    def fake_make_eval_epoch(task_, arrays, mesh=None):
+        def epoch_fn(st, idx, mask):
+            loss = next(seq)
+            return (
+                jnp.full((idx.shape[0],), loss),
+                jnp.zeros(tuple(idx.shape) + (2,), jnp.float32),
+                jnp.zeros(tuple(idx.shape), jnp.int32),
+                {},
+            )
 
-    monkeypatch.setattr(engine, "evaluate", fake_evaluate)
+        return epoch_fn
+
+    monkeypatch.setattr(engine, "make_eval_epoch", fake_make_eval_epoch)
     result = engine.fit(
         task, state, tx, small_data.train, small_data.val, cfg,
         mesh=mesh8, verbose=False,
