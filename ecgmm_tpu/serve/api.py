@@ -230,6 +230,19 @@ def make_handler(pipeline: ServingPipeline):
         def log_message(self, fmt, *args):
             pass
 
+        def do_GET(self):
+            if self.path not in ("/", "/index.html"):
+                self.send_error(404)
+                return
+            from ecgmm_tpu.serve.client import PAGE
+
+            body = PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != ENDPOINT:
                 self.send_error(404)

@@ -116,6 +116,14 @@ def test_http_endpoint_full_contract(server):
     assert set(data["gpt_result"]) == set(report.SECTIONS)
 
 
+def test_web_client_page(server):
+    with urllib.request.urlopen(server + "/", timeout=60) as resp:
+        assert resp.status == 200
+        html = resp.read().decode()
+    assert "upload-ecgImage-lead2only" in html
+    assert "feature_importance" in html
+
+
 def test_http_endpoint_404(server):
     req = urllib.request.Request(
         server + "/nope", data=b"x", method="POST"
