@@ -103,6 +103,20 @@ def exhaustive_fold_pairs(
             yield ti, vi, Split(indices[mask], val_idx, test_idx)
 
 
+def manual_split(n: int, val_indices, test_indices) -> Split:
+    """Pinned val/test index lists, everything else train — the
+    reference's hardcoded-index workflow (signal_model_split.py:170-171;
+    dataset.py:191-192 prints these lists for pinning)."""
+    val = np.asarray(sorted(val_indices), dtype=np.int64)
+    test = np.asarray(sorted(test_indices), dtype=np.int64)
+    if np.intersect1d(val, test).size:
+        raise ValueError("val/test index lists overlap")
+    mask = np.ones(n, dtype=bool)
+    mask[val] = False
+    mask[test] = False
+    return Split(np.arange(n)[mask], val, test)
+
+
 def manual_af_split(
     labels: np.ndarray, seed: int = 42
 ) -> Split:

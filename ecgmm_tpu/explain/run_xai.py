@@ -1,0 +1,158 @@
+"""XAI batch CLI: per-sample modality-contribution CSVs.
+
+Mirrors the reference's explainability scripts' output contract
+(`/root/reference/shap_fusion.py:90-110`,
+`lime_fusion_modal_balance.py:156-181`): for every test sample, the
+percentage contribution of each modality (Image_%/Signal_%/Clinical_%)
+per class, written to ./output/{shap,lime}/<model>_*.csv — plus the
+fusion attention-weight printout
+(shap_fusion_modal_balance.py:202-217).
+
+    python -m ecgmm_tpu.explain.run_xai --method shap --n-synth 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ecgmm_tpu.config import get_preset
+from ecgmm_tpu.data.pipeline import normalize_images
+from ecgmm_tpu.explain.lime_fusion import (
+    lime_modality_contributions,
+    lime_tabular,
+)
+from ecgmm_tpu.explain.shap_fusion import explain_fusion
+from ecgmm_tpu.models import ECGMultimodalModel
+
+
+def compute_embeddings(model, variables, arrays, batch_size: int = 32
+                       ) -> np.ndarray:
+    """Concatenated LayerNorm'd per-branch features for a split — the
+    explanation surface (reference shap_fusion_modal_balance.py:53-93)."""
+    out = []
+    for i in range(0, arrays.n, batch_size):
+        sl = slice(i, i + batch_size)
+        feats = model.apply(
+            variables,
+            normalize_images(arrays.images[sl]),
+            arrays.signals[sl],
+            arrays.clinical[sl],
+            method=type(model).encode,
+        )
+        out.append(np.concatenate([np.asarray(f) for f in feats[:3]], axis=1))
+    return np.concatenate(out)
+
+
+def class_balanced_background(
+    embeddings: np.ndarray, labels: np.ndarray, per_class: int = 50,
+    seed: int = 0,
+) -> np.ndarray:
+    """≤50/50 per-class background set
+    (shap_fusion_modal_balance.py:53-93)."""
+    rng = np.random.default_rng(seed)
+    picks = []
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        picks.append(idx[:per_class])
+    return embeddings[np.concatenate(picks)]
+
+
+def xai_report(
+    model, variables, train_arrays, test_arrays, dims,
+    method: str = "shap", out_dir: str = "./output", tag: str = "fusion",
+    n_samples: int = 64,
+) -> Dict[int, pd.DataFrame]:
+    emb_train = compute_embeddings(model, variables, train_arrays)
+    emb_test = compute_embeddings(model, variables, test_arrays)
+    labels_train = np.asarray(train_arrays.labels)
+    test_idx = test_arrays.indices
+
+    frames: Dict[int, pd.DataFrame] = {}
+    if method == "shap":
+        background = class_balanced_background(emb_train, labels_train)
+        per_class = explain_fusion(
+            model, variables, emb_test, background, dims,
+            n_samples=n_samples,
+        )
+        for c, contrib in per_class.items():
+            frames[c] = pd.DataFrame({"index": test_idx, **contrib})
+    elif method == "lime":
+        std = jnp.asarray(emb_train.std(axis=0) + 1e-8, jnp.float32)
+        d0, d1, d2 = dims
+
+        def predict(e):
+            logits = model.apply(
+                variables, e[:, :d0], e[:, d0:d0 + d1], e[:, d0 + d1:],
+                method=type(model).fuse_embeddings,
+            )
+            return jax.nn.softmax(logits, -1)
+
+        for c in range(2):
+            coefs = lime_tabular(
+                predict, jnp.asarray(emb_test), std, class_idx=c,
+                num_samples=1000,
+            )
+            contrib = lime_modality_contributions(np.asarray(coefs), dims)
+            frames[c] = pd.DataFrame({"index": test_idx, **contrib})
+    else:
+        raise ValueError(method)
+
+    sub = os.path.join(out_dir, method)
+    os.makedirs(sub, exist_ok=True)
+    for c, df in frames.items():
+        df.to_csv(
+            os.path.join(sub, f"{tag}_{method}_fusion_class{c}.csv"),
+            index=False,
+        )
+
+    # fusion attention-weight printout (reference :202-217)
+    sw = np.asarray(jax.nn.softmax(
+        variables["params"]["attention_fusion"]["weights"]
+    ))
+    print(
+        f"attention weights: image={sw[0]:.4f} signal={sw[1]:.4f} "
+        f"clinical={sw[2]:.4f}"
+    )
+    return frames
+
+
+def main(argv=None):
+    from ecgmm_tpu.workloads.run import load_data
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", choices=["shap", "lime"], default="shap")
+    p.add_argument("--n-synth", type=int, default=64)
+    p.add_argument("--out-dir", default="./output")
+    args = p.parse_args(argv)
+
+    cfg = get_preset("fusion")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="float32")
+    )
+    data = load_data(cfg, "synthetic", args.n_synth)
+    model = ECGMultimodalModel(cfg=cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, cfg.data.img_height, cfg.data.img_width, 3)),
+        jnp.ones((1, cfg.data.signal_len)),
+        jnp.ones((1, cfg.model.clinical_in_features)),
+    )
+    dims = (cfg.model.image_dim, cfg.model.signal_dim,
+            cfg.model.clinical_dim)
+    xai_report(
+        model, variables, data.train, data.test, dims,
+        method=args.method, out_dir=args.out_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

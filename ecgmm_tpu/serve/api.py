@@ -123,6 +123,14 @@ class ServingPipeline:
             pass
         return cls(model, variables)
 
+    def warmup(self, strip_hw: Tuple[int, int] = (250, 2500)) -> None:
+        """Compile every jit program in the request path once at startup
+        so the first real request doesn't pay cold-start latency (minutes
+        on remote-compile TPU backends)."""
+        dummy = np.full(strip_hw + (3,), 255, np.uint8)
+        dummy[strip_hw[0] // 2, :, :] = 0
+        self.predict(dummy, {"age": 60, "weight": 70})
+
     def predict(self, image_u8: np.ndarray, questionnaire: Dict) -> Dict:
         # 1. digitize the uploaded strip into a voltage series
         mv = digitize_lead2(image_u8, target_len=self.signal_len)
@@ -296,8 +304,12 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--synthetic", action="store_true",
                    help="demo pipeline (shipped PTB-XL encoder, random heads)")
+    p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args(argv)
     pipeline = ServingPipeline.demo()
+    if not args.no_warmup:
+        print("warming up (compiling the request path)…")
+        pipeline.warmup()
     print(f"serving on :{args.port}{ENDPOINT}")
     serve(pipeline, args.port)
 

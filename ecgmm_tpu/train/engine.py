@@ -303,6 +303,22 @@ def fit(
         # jit purity makes data races structural non-issues; numeric
         # faults are the failure mode worth trapping (SURVEY.md §5).
         jax.config.update("jax_debug_nans", True)
+
+    # Preemption-aware: on SIGTERM finish the current epoch, persist the
+    # full TrainState (exact resume), then stop. Reference behavior on
+    # preemption was to lose everything since the last last.pth epoch
+    # write (SURVEY.md §5 failure-detection row).
+    preempted = {"flag": False}
+    prev_handler = None
+    try:
+        import signal as _signal
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        prev_handler = _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not the main thread — skip graceful-preemption hook
     train_epoch = make_train_epoch(
         task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
     )
@@ -426,6 +442,19 @@ def fit(
             if int(state.early_stop_counter) >= cfg.patience:
                 stopped_early = True
                 break
+
+        if preempted["flag"]:
+            if ckpt is not None:
+                ckpt.save("last", state)
+            break
+
+    if prev_handler is not None:
+        try:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, prev_handler)
+        except ValueError:
+            pass
 
     return FitResult(
         state=state, history=history, best_epoch=best_epoch,
