@@ -78,16 +78,27 @@ def load_images(
     Normalisation to ±1 floats happens **on device** inside the model input
     stage — keeping HBM-resident images uint8 quarters host→device traffic
     vs the reference's per-item PIL→float CPU path (dataset.py:58-64)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     out = np.empty((len(indices), hw[0], hw[1], 3), np.uint8)
-    for i, idx in enumerate(indices):
-        p = os.path.join(image_dir, str(idx), f"{str(idx).zfill(3)}ECG_lead2.jpg")
+
+    def decode(i_idx):
+        i, idx = i_idx
+        p = os.path.join(
+            image_dir, str(idx), f"{str(idx).zfill(3)}ECG_lead2.jpg"
+        )
         with Image.open(p) as im:
             im = im.convert("RGB").resize(
                 (hw[1], hw[0]), Image.Resampling.BILINEAR
             )
             out[i] = np.asarray(im)
+
+    # PIL decode releases the GIL; threads parallelise the one-off
+    # materialisation read (the reference re-decodes per epoch per item).
+    with ThreadPoolExecutor() as pool:
+        list(pool.map(decode, enumerate(indices)))
     return out
 
 

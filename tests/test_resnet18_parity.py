@@ -1,0 +1,111 @@
+"""ResNet18 converter + Flax-model parity against a torch replica with
+torchvision-compatible state-dict keys (torchvision itself is not in this
+image). Validates conv layouts (OIHW→HWIO), BN conventions, asymmetric
+maxpool padding and the stage/block naming map."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ecgmm_tpu.models import ResNet18
+from ecgmm_tpu.tools import convert_pth
+
+
+def _torch_resnet18(num_classes=1000):
+    import torch.nn as tnn
+
+    class Block(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                                    bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = (
+                tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+                if (stride != 1 or cin != cout) else None
+            )
+
+        def forward(self, x):
+            idt = self.downsample(x) if self.downsample else x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idt)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                    bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = tnn.Sequential(Block(64, 64), Block(64, 64))
+            self.layer2 = tnn.Sequential(Block(64, 128, 2), Block(128, 128))
+            self.layer3 = tnn.Sequential(Block(128, 256, 2), Block(256, 256))
+            self.layer4 = tnn.Sequential(Block(256, 512, 2), Block(512, 512))
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(self.avgpool(x).flatten(1))
+
+    return Net()
+
+
+def test_resnet18_logit_parity():
+    import torch
+
+    torch.manual_seed(0)
+    tmodel = _torch_resnet18(num_classes=512)
+    # randomise BN running stats so eval-mode normalisation is non-trivial
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.2)
+    tmodel.eval()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_pth.convert_resnet18(sd)
+    fmodel = ResNet18(num_classes=512)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_resnet18_odd_input_size_parity():
+    """Odd spatial sizes exercise the asymmetric stride-2 padding paths
+    where torch/XLA 'SAME' conventions usually diverge."""
+    import torch
+
+    torch.manual_seed(1)
+    tmodel = _torch_resnet18(num_classes=7)
+    tmodel.eval()
+    variables = convert_pth.convert_resnet18(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    )
+    fmodel = ResNet18(num_classes=7)
+    x = np.random.default_rng(1).normal(size=(1, 3, 97, 111)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
