@@ -33,7 +33,7 @@ class ConvBlock2D(nn.Module):
             self.features, (5, 5), padding=[(2, 2), (2, 2)],
             dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         return nn.max_pool(x, (2, 2), strides=(2, 2))
 

@@ -35,7 +35,7 @@ class BasicBlock2D(nn.Module):
             dtype=self.dtype, name="conv1",
         )(x)
         out = nn.BatchNorm(
-            use_running_average=not train, name="bn1", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="bn1", **BN_KW
         )(out)
         out = nn.relu(out)
         out = nn.Conv(
@@ -43,7 +43,7 @@ class BasicBlock2D(nn.Module):
             dtype=self.dtype, name="conv2",
         )(out)
         out = nn.BatchNorm(
-            use_running_average=not train, name="bn2", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="bn2", **BN_KW
         )(out)
         if x.shape[-1] != self.features or self.stride != 1:
             identity = nn.Conv(
@@ -51,7 +51,8 @@ class BasicBlock2D(nn.Module):
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = nn.BatchNorm(
-                use_running_average=not train, name="downsample_bn", **BN_KW
+                use_running_average=not train, dtype=self.dtype,
+                name="downsample_bn", **BN_KW
             )(identity)
         return nn.relu(out + identity)
 
@@ -79,7 +80,7 @@ class ResNet18(nn.Module):
             use_bias=False, dtype=self.dtype, name="stem_conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, name="stem_bn", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="stem_bn", **BN_KW
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(

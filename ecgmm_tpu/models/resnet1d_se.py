@@ -93,7 +93,7 @@ class BasicBlock1D(nn.Module):
             padding=[(pad, pad)], dtype=self.dtype, name="conv1",
         )(x)
         out = nn.BatchNorm(
-            use_running_average=not train, name="bn1", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="bn1", **BN_KW
         )(out)
         out = nn.relu(out)
         out = nn.Conv(
@@ -101,7 +101,7 @@ class BasicBlock1D(nn.Module):
             dtype=self.dtype, name="conv2",
         )(out)
         out = nn.BatchNorm(
-            use_running_average=not train, name="bn2", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="bn2", **BN_KW
         )(out)
         out = SEBlock1D(
             self.features, dtype=self.dtype, use_pallas=self.use_pallas,
@@ -113,7 +113,8 @@ class BasicBlock1D(nn.Module):
                 dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = nn.BatchNorm(
-                use_running_average=not train, name="downsample_bn", **BN_KW
+                use_running_average=not train, dtype=self.dtype,
+                name="downsample_bn", **BN_KW
             )(identity)
         return nn.relu(out + identity)
 
@@ -146,7 +147,7 @@ class ResNet1DSE(nn.Module):
             dtype=self.dtype, name="stem_conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, name="stem_bn", **BN_KW
+            use_running_average=not train, dtype=self.dtype, name="stem_bn", **BN_KW
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3,), strides=(2,), padding=[(1, 1)])
