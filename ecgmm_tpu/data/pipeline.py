@@ -63,6 +63,7 @@ def materialize_trimodal(
     cohort: synthetic.SyntheticCohort,
     cfg: Config,
     apply_signal_filter: bool = True,
+    scale_all_clinical: Optional[bool] = None,
 ) -> MaterializedData:
     """Split + scale + preprocess a trimodal cohort into device arrays.
 
@@ -70,11 +71,20 @@ def materialize_trimodal(
     stratified 8:1:1 on seed, StandardScaler fit on train only (full ECG
     matrix; AGE/Wt for clinical), per-sample baseline-removal + low-pass
     on the scaled signals.
+
+    scale_all_clinical: the canonical variant scales only AGE/Wt
+    (dataset.py:198); the modal-balance variant scales every clinical
+    column (dataset_image.py:36 / dataset_kfold.py:36). Defaults by
+    cfg.model.variant.
     """
     sp = splits.stratified_811(cohort.labels, seed=cfg.train.seed)
 
+    if scale_all_clinical is None:
+        scale_all_clinical = cfg.model.variant == "modal_balance"
+    n_scaled = cohort.clinical.shape[1] if scale_all_clinical else 2
+
     ecg_scaler = preprocess.Scaler.fit(cohort.signals[sp.train])
-    clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :2])
+    clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :n_scaled])
 
     def _filter_signals(sig_np: np.ndarray) -> np.ndarray:
         # Prefer the threaded C++ engine (ecgmm_tpu/native, scipy-exact);
@@ -100,10 +110,11 @@ def materialize_trimodal(
             if apply_signal_filter:
                 sig = _filter_signals(sig)
             sig = np.asarray(sig, np.float32)
-            clin = clin_scaler.transform(cohort.clinical[idx, :2])
-            if cohort.clinical.shape[1] > 2:
+            clin = clin_scaler.transform(cohort.clinical[idx, :n_scaled])
+            if cohort.clinical.shape[1] > n_scaled:
                 clin = jnp.concatenate(
-                    [clin, jnp.asarray(cohort.clinical[idx, 2:])], axis=1
+                    [clin, jnp.asarray(cohort.clinical[idx, n_scaled:])],
+                    axis=1,
                 )
             clin = np.asarray(clin, np.float32)
         return Arrays(
