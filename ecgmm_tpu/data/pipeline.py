@@ -19,15 +19,15 @@ Epoch iteration therefore does zero host→device copies of sample data.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, NamedTuple, Optional, Tuple
+from typing import Iterator, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ecgmm_tpu.config import Config
-from ecgmm_tpu.data import align, preprocess, splits, synthetic
-from ecgmm_tpu.parallel import batch_sharding, make_mesh
+from ecgmm_tpu.data import preprocess, splits, synthetic
+from ecgmm_tpu.parallel import batch_sharding
 
 
 class Arrays(NamedTuple):

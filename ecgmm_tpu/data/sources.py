@@ -19,7 +19,6 @@ from __future__ import annotations
 import ast
 import os
 import re
-import struct
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ python loop per sample like the reference's per-sample explainer calls.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

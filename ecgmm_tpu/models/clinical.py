@@ -19,7 +19,7 @@ identical at these sizes and is used instead (documented, tested).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Pallas path is wired in the training engine where profiling justifies it.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ conventions so imported checkpoints are numerically identical.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

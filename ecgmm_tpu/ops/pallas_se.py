@@ -23,7 +23,6 @@ False and the model's XLA branch is authoritative).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ reference's per-sample host scipy call.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

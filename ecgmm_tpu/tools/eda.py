@@ -13,9 +13,8 @@ Re-designs the reference's analysis scripts as reusable functions:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 import pandas as pd
 from scipy import stats
 

@@ -10,9 +10,8 @@ same contract (test best.pth then last.pth, train.py:174-336).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -14,7 +14,6 @@ are index slices into device-resident arrays.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax

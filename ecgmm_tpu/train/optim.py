@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 import optax
 
 from ecgmm_tpu.config import TrainConfig

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ecgmm_tpu.config import Config, ModelConfig, TrainConfig, get_preset
+from ecgmm_tpu.config import Config, get_preset
 from ecgmm_tpu.data import pipeline
 from ecgmm_tpu.models import (
     ClinicalMLPEncoder,

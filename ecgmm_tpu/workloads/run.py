@@ -16,7 +16,7 @@ import argparse
 import dataclasses
 import os
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
