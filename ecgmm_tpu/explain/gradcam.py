@@ -112,7 +112,7 @@ def grad_cam_fusion_image(
         mu = jnp.mean(emb, -1, keepdims=True)
         var = jnp.var(emb, -1, keepdims=True)
         ln = p["image_norm"]
-        emb = (emb - mu) / jnp.sqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        emb = (emb - mu) / jnp.sqrt(var + 1e-5) * ln["scale"] + ln["bias"]
         cls = p["image_classifier"]
         return emb @ cls["kernel"] + cls["bias"]
 

@@ -81,7 +81,7 @@ class AttentionFusion(nn.Module):
         return op(
             img.astype(jnp.float32), sig.astype(jnp.float32),
             clin.astype(jnp.float32), self.weights,
-            self.norm.scale, self.norm.bias,
+            self.norm.scale, self.norm.bias, 1e-5,  # torch LayerNorm eps
         )
 
 
@@ -122,9 +122,10 @@ class ECGMultimodalModel(nn.Module):
             self.clinical_encoder = ClinicalMLPEncoder(
                 out_dim=c.clinical_dim, dtype=dtype, name="clinical_encoder"
             )
-        self.image_norm = nn.LayerNorm(name="image_norm")
-        self.signal_norm = nn.LayerNorm(name="signal_norm")
-        self.clinical_norm = nn.LayerNorm(name="clinical_norm")
+        # torch nn.LayerNorm eps (1e-5; flax defaults to 1e-6)
+        self.image_norm = nn.LayerNorm(epsilon=1e-5, name="image_norm")
+        self.signal_norm = nn.LayerNorm(epsilon=1e-5, name="signal_norm")
+        self.clinical_norm = nn.LayerNorm(epsilon=1e-5, name="clinical_norm")
         self.image_classifier = nn.Dense(c.num_classes, name="image_classifier")
         self.signal_classifier = nn.Dense(
             c.num_classes, name="signal_classifier"

@@ -136,6 +136,81 @@ def convert_resnet18(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     }
 
 
+def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str
+                  ) -> Dict[str, np.ndarray]:
+    p = prefix + "."
+    return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+
+
+def convert_clinical_mlp(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """Sequential Linear/BN/ReLU/Dropout/Linear clinical encoder
+    (reference multimodal_paper_modal_balance.py:256-263; torch keys
+    0.*, 1.*, 4.*) → variables for models.ClinicalMLPEncoder."""
+    p: Dict[str, np.ndarray] = {}
+    s: Dict[str, np.ndarray] = {}
+    p["fc1/kernel"] = _linear(sd["0.weight"])
+    p["fc1/bias"] = sd["0.bias"]
+    _put_bn(p, s, "bn", sd, "1")
+    p["fc2/kernel"] = _linear(sd["4.weight"])
+    p["fc2/bias"] = sd["4.bias"]
+    return {
+        "params": unflatten_path_dict(p),
+        "batch_stats": unflatten_path_dict(s),
+    }
+
+
+def convert_fusion_modal_balance(sd: Mapping[str, np.ndarray]
+                                 ) -> Dict[str, dict]:
+    """Reference-format fusion checkpoint (torch.save of
+    ECGMultimodalModel.state_dict(), the modal-balance/MLP-clinical
+    variant — multimodal_paper_modal_balance.py:197-354) → variables for
+    models.ECGMultimodalModel(ModelConfig.modal_balance()).
+
+    Key families: image_encoder.* (torchvision layout), signal_encoder.*
+    (initial.0/layer{1..3}/classifier layout), clinical_encoder.{0,1,4}.*,
+    {image,signal,clinical}_norm.*, {image,signal,clinical}_classifier.*,
+    attention_fusion.{weights,norm.*}, fusion_classifier.{0,3}.*."""
+    img = convert_resnet18(_strip_prefix(sd, "image_encoder"))
+    sig = convert_resnet1d_se(_strip_prefix(sd, "signal_encoder"))
+    clin = convert_clinical_mlp(_strip_prefix(sd, "clinical_encoder"))
+
+    params = {
+        "image_encoder": img["params"],
+        "signal_encoder": sig["params"],
+        "clinical_encoder": clin["params"],
+    }
+    stats = {
+        "image_encoder": img["batch_stats"],
+        "signal_encoder": sig["batch_stats"],
+        "clinical_encoder": clin["batch_stats"],
+    }
+    for branch in ("image", "signal", "clinical"):
+        params[f"{branch}_norm"] = {
+            "scale": sd[f"{branch}_norm.weight"],
+            "bias": sd[f"{branch}_norm.bias"],
+        }
+        params[f"{branch}_classifier"] = {
+            "kernel": _linear(sd[f"{branch}_classifier.weight"]),
+            "bias": sd[f"{branch}_classifier.bias"],
+        }
+    params["attention_fusion"] = {
+        "weights": sd["attention_fusion.weights"],
+        "norm": {
+            "scale": sd["attention_fusion.norm.weight"],
+            "bias": sd["attention_fusion.norm.bias"],
+        },
+    }
+    params["fusion_hidden"] = {
+        "kernel": _linear(sd["fusion_classifier.0.weight"]),
+        "bias": sd["fusion_classifier.0.bias"],
+    }
+    params["fusion_out"] = {
+        "kernel": _linear(sd["fusion_classifier.3.weight"]),
+        "bias": sd["fusion_classifier.3.bias"],
+    }
+    return {"params": params, "batch_stats": stats}
+
+
 def load_partial(
     target_vars: Mapping, source_vars: Mapping,
     exclude_prefixes: Iterable[str] = (),
