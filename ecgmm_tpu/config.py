@@ -118,6 +118,10 @@ class TrainConfig:
     plateau_patience: int = 2  # epochs of no val improvement before LR decay
     plateau_factor: float = 0.1  # LR ÷ 10 (train.py:157-163)
     var_loss_weight: float = 0.1  # train.py:78
+    # CE on the three per-branch logits added to the fusion CE — 0 for the
+    # canonical trainer (train.py:78), 1.0 for the exhaustive-CV trainer
+    # (train_exhausted.py:67-75).
+    branch_loss_weight: float = 0.0
     freeze_encoders: bool = True  # train.py:35-40
     loss: str = "cross_entropy"  # or "focal"
     focal_alpha: float = 1.0

@@ -134,6 +134,19 @@ def make_fusion_task(model, cfg: TrainConfig) -> Task:
             outputs.fusion_logits, batch.labels, outputs.var_loss,
             batch.mask, var_weight=cfg.var_loss_weight,
         )
+        if cfg.branch_loss_weight:
+            # summed per-branch CE (train_exhausted.py:67-75)
+            total = total + cfg.branch_loss_weight * (
+                losses.cross_entropy(
+                    outputs.image_logits, batch.labels, batch.mask
+                )
+                + losses.cross_entropy(
+                    outputs.signal_logits, batch.labels, batch.mask
+                )
+                + losses.cross_entropy(
+                    outputs.clinical_logits, batch.labels, batch.mask
+                )
+            )
         return total, {
             "var_loss": outputs.var_loss,
             "soft_weights": outputs.soft_weights,
