@@ -300,6 +300,10 @@ def serve(pipeline: ServingPipeline, port: int = 8080,
 def main(argv=None):
     import argparse
 
+    from ecgmm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--synthetic", action="store_true",

@@ -138,16 +138,20 @@ def make_train_epoch(task: Task, tx: optax.GradientTransformation,
     from the materialised arrays. ONE dispatch per epoch — per-batch
     Python dispatch latency (significant on relayed/async backends)
     disappears, and XLA overlaps the gather of batch i+1 with the compute
-    of batch i."""
+    of batch i.
+
+    The dataset arrays are jit ARGUMENTS, not closure constants — baking
+    them into the executable would bloat (remote) compiles and the
+    persistent cache by the dataset size."""
     from ecgmm_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
 
-    def epoch_fn(state: TrainState, idx_mat: jnp.ndarray,
+    def epoch_fn(state: TrainState, data: Arrays, idx_mat: jnp.ndarray,
                  mask_mat: jnp.ndarray):
         def body(st, im):
             idx, mask = im
-            batch = _gather_batch(arrays, idx, mask, sharding)
+            batch = _gather_batch(data, idx, mask, sharding)
             st, mets = _train_step_core(task, tx, st, batch)
             return st, mets
 
@@ -164,7 +168,17 @@ def make_train_epoch(task: Task, tx: optax.GradientTransformation,
             out["var_loss"] = jnp.mean(mets["var_loss"])
         return state, out
 
-    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+    def run(state, idx_mat, mask_mat):
+        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
+
+    return run
+
+
+def _device_arrays(arrays: Arrays) -> Arrays:
+    """Arrays without the host-only index field (a jit-compatible pytree)."""
+    return arrays._replace(indices=np.zeros(0, np.int32))
 
 
 def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
@@ -173,12 +187,12 @@ def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
 
     sharding = batch_sharding(mesh) if mesh is not None else None
 
-    def epoch_fn(state: TrainState, idx_mat, mask_mat):
+    def epoch_fn(state: TrainState, data: Arrays, idx_mat, mask_mat):
         variables = {"params": state.params, **state.model_state}
 
         def body(_, im):
             idx, mask = im
-            batch = _gather_batch(arrays, idx, mask, sharding)
+            batch = _gather_batch(data, idx, mask, sharding)
             outputs, _ = task.apply(variables, batch, train=False, rngs=None)
             loss, mets = task.loss(outputs, batch)
             scalars = {
@@ -194,7 +208,12 @@ def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
         )
         return losses, logits, labels, mets
 
-    return jax.jit(epoch_fn)
+    jitted = jax.jit(epoch_fn)
+
+    def run(state, idx_mat, mask_mat):
+        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
+
+    return run
 
 
 def epoch_indices(

@@ -186,7 +186,10 @@ def run_pipeline(
 
 
 def main(argv=None):
+    from ecgmm_tpu.utils.cache import enable_compilation_cache
     from ecgmm_tpu.workloads.run import load_data
+
+    enable_compilation_cache()
 
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=3)

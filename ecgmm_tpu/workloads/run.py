@@ -310,6 +310,9 @@ def run(cfg: Config, data: pipeline.MaterializedData,
 
 
 def main(argv=None):
+    from ecgmm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="fusion")
     p.add_argument("--data", default="synthetic",
