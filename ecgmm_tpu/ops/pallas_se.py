@@ -12,12 +12,13 @@ Forward is Pallas; backward reuses the XLA VJP of the reference
 expression (custom_vjp), keeping gradients bit-consistent with the
 unfused module.
 
-STATUS (v5e, 2026-08): correct under the Pallas interpreter (tested) but
-the natively-compiled Mosaic output diverges from the reference on the
-current toolchain, and is slower than XLA's fusion at these shapes
-(15.6 ms vs 2.9 ms at B=256, T=619, C=256). Until the miscompile is
-resolved the op is NOT wired into any default path (use_pallas defaults
-False and the model's XLA branch is authoritative).
+STATUS (v5e, 2026-08): natively-compiled output matches the reference to
+~3e-5 max abs (f32 reduction-order noise; verified at B∈{8..256},
+T aligned and unaligned) — an earlier "miscompile" report was a
+too-strict 2e-5 tolerance. It remains SLOWER than XLA's fusion at these
+shapes (15.6 ms vs 2.9 ms at B=256, T=619, C=256), so the op stays
+opt-in (use_pallas defaults False; the XLA branch is the production
+default).
 """
 
 from __future__ import annotations
