@@ -93,6 +93,52 @@ class ServingPipeline:
                 size=(32, sum(self.dims))
             ).astype(np.float32)
         self.background = background_embeddings
+        self._build_jitted()
+
+    def _build_jitted(self):
+        """Every device computation in the request path is jitted once —
+        eager apply dispatches each op individually, which costs seconds
+        per request on relayed backends (measured: 1.6 s eager vs ~10 ms
+        jitted for the batch-1 fusion forward)."""
+        model, variables = self.model, self.variables
+        d0, d1, _ = self.dims
+
+        @jax.jit
+        def forward(img, sig, clin):
+            out = model.apply(variables, img, sig, clin)
+            return jax.nn.softmax(out.fusion_logits, -1)
+
+        @jax.jit
+        def encode(img, sig, clin):
+            feats = model.apply(
+                variables, img, sig, clin, method=type(model).encode
+            )
+            return jnp.concatenate(feats[:3], axis=1)
+
+        from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image
+        from ecgmm_tpu.explain.shap_fusion import gradient_shap
+
+        @jax.jit
+        def gradcam(img, cls):
+            cam, _ = grad_cam_fusion_image(model, variables, img, cls)
+            return cam
+
+        bg = jnp.asarray(self.background)
+
+        @jax.jit
+        def shap(emb, cls):
+            def head(e):
+                return model.apply(
+                    variables, e[:, :d0], e[:, d0:d0 + d1], e[:, d0 + d1:],
+                    method=type(model).fuse_embeddings,
+                )
+
+            return gradient_shap(head, emb, bg, cls, n_samples=32)
+
+        self._forward = forward
+        self._encode = encode
+        self._gradcam = gradcam
+        self._shap = shap
 
     @classmethod
     def demo(cls) -> "ServingPipeline":
@@ -159,20 +205,15 @@ class ServingPipeline:
         if self.clinical_scaler is not None:
             clin = np.asarray(self.clinical_scaler.transform(clin))
 
-        # 4. fusion forward
-        out = self.model.apply(
-            self.variables, jnp.asarray(img_norm), jnp.asarray(sig),
-            jnp.asarray(clin),
-        )
-        probs = np.asarray(jax.nn.softmax(out.fusion_logits, -1))[0]
+        # 4. fusion forward (jitted)
+        probs = np.asarray(self._forward(
+            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
+        ))[0]
         pred = int(np.argmax(probs))
         label = "Abnormal" if pred == 1 else "Normal"
 
-        # 5. Grad-CAM overlay on the original strip
-        cam, _ = grad_cam_fusion_image(
-            self.model, self.variables, jnp.asarray(img_norm),
-            class_idx=jnp.asarray([pred]),
-        )
+        # 5. Grad-CAM overlay on the original strip (jitted)
+        cam = self._gradcam(jnp.asarray(img_norm), jnp.asarray([pred]))
         cam_full = np.asarray(jax.image.resize(
             cam, (1, image_u8.shape[0], image_u8.shape[1]), "bilinear"
         ))[0]
@@ -182,29 +223,11 @@ class ServingPipeline:
         heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
 
         # 6. modality attribution via gradient SHAP on the fusion head
-        emb = np.concatenate(
-            [
-                np.asarray(x) for x in self.model.apply(
-                    self.variables, jnp.asarray(img_norm), jnp.asarray(sig),
-                    jnp.asarray(clin),
-                    method=type(self.model).encode,
-                )[:3]
-            ],
-            axis=1,
+        # (jitted; class index is a traced argument)
+        emb = self._encode(
+            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
         )
-        d0, d1, d2 = self.dims
-
-        def head(e):
-            return self.model.apply(
-                self.variables, e[:, :d0], e[:, d0:d0 + d1],
-                e[:, d0 + d1:],
-                method=type(self.model).fuse_embeddings,
-            )
-
-        attr = gradient_shap(
-            head, jnp.asarray(emb), jnp.asarray(self.background),
-            class_idx=pred, n_samples=32,
-        )
+        attr = self._shap(emb, jnp.asarray(pred))
         contrib = modality_contributions(np.asarray(attr), self.dims)
         clin_pct = float(contrib["Clinical_%"][0])
         feature_importance = {
