@@ -60,7 +60,7 @@ def lime_tabular(
         return jnp.linalg.solve(g, rhs)
 
     keys = jax.random.split(key, b)
-    return jax.vmap(single)(x, keys)
+    return jax.jit(jax.vmap(single))(x, keys)
 
 
 def lime_modality_contributions(

@@ -37,17 +37,20 @@ def compute_embeddings(model, variables, arrays, batch_size: int = 32
                        ) -> np.ndarray:
     """Concatenated LayerNorm'd per-branch features for a split — the
     explanation surface (reference shap_fusion_modal_balance.py:53-93)."""
+    @jax.jit
+    def encode(img, sig, clin):
+        feats = model.apply(
+            variables, normalize_images(img), sig, clin,
+            method=type(model).encode,
+        )
+        return jnp.concatenate(feats[:3], axis=1)
+
     out = []
     for i in range(0, arrays.n, batch_size):
         sl = slice(i, i + batch_size)
-        feats = model.apply(
-            variables,
-            normalize_images(arrays.images[sl]),
-            arrays.signals[sl],
-            arrays.clinical[sl],
-            method=type(model).encode,
-        )
-        out.append(np.concatenate([np.asarray(f) for f in feats[:3]], axis=1))
+        out.append(np.asarray(encode(
+            arrays.images[sl], arrays.signals[sl], arrays.clinical[sl]
+        )))
     return np.concatenate(out)
 
 

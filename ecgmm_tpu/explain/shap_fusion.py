@@ -50,7 +50,9 @@ def gradient_shap(
 
     keys1 = jax.random.split(kb, x.shape[0])
     keys2 = jax.random.split(ka, x.shape[0])
-    return jax.vmap(single)(x, keys1, keys2)
+    # jit the vmapped estimator: un-jitted vmap still executes op-by-op,
+    # which is seconds per call on relayed backends
+    return jax.jit(jax.vmap(single))(x, keys1, keys2)
 
 
 def modality_contributions(

@@ -169,10 +169,11 @@ def cross_dataset_eval(
         )
         x = np.asarray(preprocess.pad_or_crop(x, length))
 
+    apply = jax.jit(lambda xb: model.apply(variables, xb))
     logits = []
     for i in range(0, len(x), batch_size):
         xb = jnp.asarray(x[i:i + batch_size])[..., None]
-        logits.append(np.asarray(model.apply(variables, xb)))
+        logits.append(np.asarray(apply(xb)))
     logits = np.concatenate(logits)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits))[:, 1])
     return M.summarize_binary(probs, labels)
