@@ -38,7 +38,6 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
