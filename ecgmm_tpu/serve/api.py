@@ -141,6 +141,67 @@ class ServingPipeline:
         self._shap = shap
 
     @classmethod
+    def from_run(
+        cls,
+        run_dir: str,
+        data,
+        model: Optional[ECGMultimodalModel] = None,
+        which: str = "best",
+        train_cfg=None,
+    ) -> "ServingPipeline":
+        """Production assembly: a fusion training run's checkpoint
+        (workloads.run / workloads.pretrain output) + the run's fitted
+        scalers + real background embeddings from its train split.
+
+        train_cfg must match the run's TrainConfig closely enough to
+        rebuild the same optimizer-state structure (orbax restores into a
+        matching skeleton); the fusion preset default usually does."""
+        from ecgmm_tpu.config import TrainConfig
+        from ecgmm_tpu.data.pipeline import normalize_images
+        from ecgmm_tpu.train.checkpoint import CheckpointManager
+        from ecgmm_tpu.train.optim import make_optimizer
+        from ecgmm_tpu.train.state import create_state, \
+            encoder_freeze_predicate
+
+        train_cfg = train_cfg or TrainConfig()
+        model = model or ECGMultimodalModel(cfg=ModelConfig())
+        sig_len = data.train.signals.shape[-1]
+        n_clin = data.train.clinical.shape[-1]
+        img_hw = data.train.images.shape[1:3]
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1,) + tuple(img_hw) + (3,)),
+            jnp.ones((1, sig_len)), jnp.ones((1, n_clin)),
+        )
+        skeleton = create_state(
+            variables,
+            make_optimizer(train_cfg, steps_per_epoch=1),
+            jax.random.PRNGKey(0),
+            freeze_predicate=(
+                encoder_freeze_predicate if train_cfg.freeze_encoders
+                else None
+            ),
+        )
+        ckpt = CheckpointManager(run_dir)
+        state = ckpt.restore(which, skeleton)
+        trained = {"params": state.params, **state.model_state}
+
+        # real class-balanced background embeddings from the train split
+        pipe = cls(
+            model, trained,
+            ecg_scaler=data.ecg_scaler,
+            clinical_scaler=data.clinical_scaler,
+            signal_len=sig_len, img_hw=tuple(img_hw),
+        )
+        emb = np.asarray(pipe._encode(
+            normalize_images(data.train.images[:64]),
+            data.train.signals[:64], data.train.clinical[:64],
+        ))
+        pipe.background = emb
+        pipe._build_jitted()  # rebind SHAP to the real background
+        return pipe
+
+    @classmethod
     def demo(cls) -> "ServingPipeline":
         """Self-contained demo: fusion model with the shipped PTB-XL
         signal-encoder weights warm-started and random heads."""

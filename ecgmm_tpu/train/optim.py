@@ -24,8 +24,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: Optional[int] = None
             raise ValueError("onecycle needs steps_per_epoch")
         # torch OneCycleLR defaults (cos anneal, pct_start .3, div 25,
         # final_div 1e4) == optax.cosine_onecycle_schedule defaults.
+        # optax returns NaN when the warmup interval rounds to zero width
+        # (int(0.3·steps) == 0), so very short runs clamp to ≥4 steps.
         sched = optax.cosine_onecycle_schedule(
-            transition_steps=steps_per_epoch * cfg.num_epochs,
+            transition_steps=max(steps_per_epoch * cfg.num_epochs, 4),
             peak_value=cfg.onecycle_peak_lr,
         )
         tx = optax.adam(learning_rate=sched)

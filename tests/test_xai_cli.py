@@ -75,3 +75,23 @@ def test_xai_cli_writes_csvs(tmp_path):
             np.testing.assert_allclose(total, 100.0, atol=1e-3)
             path = tmp_path / method / f"fusion_{method}_fusion_class{c}.csv"
             assert path.exists()
+
+
+def test_onecycle_short_run_no_nan():
+    """optax.cosine_onecycle_schedule NaNs when the warmup interval
+    rounds to zero steps — make_optimizer must clamp (regression for the
+    2-step PTB-XL smoke run)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ecgmm_tpu.config import TrainConfig
+    from ecgmm_tpu.train.optim import make_optimizer
+
+    cfg = TrainConfig(schedule="onecycle", num_epochs=1)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+        params = optax.apply_updates(params, updates)
+    assert bool(jnp.isfinite(params["w"]).all())
