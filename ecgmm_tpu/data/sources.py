@@ -34,10 +34,12 @@ def read_table(path: str) -> pd.DataFrame:
     pd.read_excel for labels (dataset.py:127); this environment has no
     xlsx engine, so a same-named .csv sibling is accepted."""
     if path.endswith((".xlsx", ".xls")):
+        csv_path = os.path.splitext(path)[0] + ".csv"
+        if not os.path.exists(path) and os.path.exists(csv_path):
+            return pd.read_csv(csv_path)
         try:
             return pd.read_excel(path)
         except ImportError:
-            csv_path = os.path.splitext(path)[0] + ".csv"
             if os.path.exists(csv_path):
                 return pd.read_csv(csv_path)
             raise

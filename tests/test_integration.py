@@ -124,3 +124,43 @@ def test_serving_from_trained_run(tmp_path):
     assert out["label"] in ("Normal", "Abnormal")
     assert abs(sum(out["feature_importance"].values()) - 100.0) < 1.0
     assert len(out["ecg_signal"]) > 50
+
+
+def test_hospital_layout_end_to_end(tmp_path):
+    """runner.load_data('hospital'): the reference's on-disk layout
+    (labels/clinical/ecg_signals/images tree) through alignment, scaling,
+    materialization and one fusion training epoch."""
+    from ecgmm_tpu.config import ModelConfig
+    from ecgmm_tpu.data import synthetic
+
+    synthetic.write_fixture_tree(str(tmp_path / "data"), n=32)
+    cfg = _shrunk(
+        "fusion", tmp_path,
+        data_dir=str(tmp_path / "data"),
+        img_height=32, img_width=32, signal_len=2476,
+    )
+    cfg = dataclasses.replace(cfg, model=ModelConfig(dtype="float32"))
+    data = runner.load_data(cfg, "hospital", n_synth=0)
+    # Borderline rows dropped by alignment
+    assert data.train.n + data.val.n + data.test.n < 32
+    assert data.train.images.shape[1:] == (32, 32, 3)
+    result, metrics = runner.run(
+        cfg, data, run_dir=str(tmp_path / "run"), verbose=False
+    )
+    assert np.isfinite(result.history[0]["Loss/Train"])
+
+
+def test_serving_handles_odd_photo_sizes(tmp_path):
+    """Phone photos are not 2500x250: the pipeline must digitize and
+    answer for arbitrary sizes (and grayscale-ish content)."""
+    from ecgmm_tpu.serve.api import ServingPipeline
+
+    pipe = ServingPipeline.demo()
+    rng = np.random.default_rng(0)
+    for hw in ((333, 777), (1024, 768)):
+        img = np.full(hw + (3,), 240, np.uint8)
+        img[hw[0] // 2 + (10 * np.sin(np.arange(hw[1]) / 9)).astype(int),
+            np.arange(hw[1])] = 20
+        out = pipe.predict(img, {"age": 45, "weight": 80})
+        assert out["label"] in ("Normal", "Abnormal")
+        assert len(out["ecg_signal"]) > 50
