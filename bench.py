@@ -135,4 +135,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # A stale AOT executable from the persistent cache (relay/libtpu skew)
+    # must not kill the bench: purge + retry once without the cache.
+    from ecgmm_tpu.utils.cache import with_cache_recovery
+
+    with_cache_recovery(main)
