@@ -15,10 +15,71 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
 Dtype = Any
 BN_KW = dict(epsilon=1e-5, momentum=0.9)  # torch defaults
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+class StemConv(nn.Module):
+    """The 7×7/stride-2 stem conv, optionally evaluated as the
+    mathematically identical 4×4/stride-1 conv over space-to-depth(2)
+    inputs (the standard TPU ResNet stem transform).
+
+    Why: with C_in=3 the 7×7 conv's contraction (7·7·3=147, dominated by a
+    3-wide innermost channel dim) under-fills the MXU's lanes and the
+    stride-2 access pattern defeats clean tiling. Packing each 2×2 pixel
+    block into 12 channels turns it into a dense stride-1 conv
+    (4·4·12=192-deep contraction, 45 of which are structural zeros) that
+    XLA tiles at full MXU rate.
+
+    The PARAMETER keeps the canonical ``(7, 7, C, features)`` layout under
+    the same ``stem_conv/kernel`` path as the plain ``nn.Conv``, so torch
+    warm-starts (tools/convert_pth.py), checkpoints, and parity tests are
+    untouched; the rearrangement below is a traced zero-pad + transpose of
+    the kernel, negligible next to the conv itself.
+
+    Kernel identity: output row i of the original conv reads input rows
+    2i-3 … 2i+3 = blocks i-2 … i+1 at offsets o = k+1 (k the original tap
+    index), i.e. block k' = (k+1)//2, intra-block slot (k+1)%2 — which is
+    exactly a zero-pad of the 7×7 kernel to 8×8 at the top/left followed by
+    space-to-depth(2) of its spatial dims, with spatial padding (2, 1).
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    space_to_depth: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, c_in, self.features), jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if (not self.space_to_depth or x.shape[1] % 2 or x.shape[2] % 2):
+            return lax.conv_general_dilated(
+                x, k, (2, 2), [(3, 3), (3, 3)], dimension_numbers=_CONV_DN
+            )
+        b, h, w, c = x.shape
+        xs = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, F)
+        ks = (
+            kp.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        return lax.conv_general_dilated(
+            xs, ks, (1, 1), [(2, 1), (2, 1)], dimension_numbers=_CONV_DN
+        )
 
 
 class BasicBlock2D(nn.Module):
@@ -68,6 +129,7 @@ class ResNet18(nn.Module):
     num_classes: int = 2
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     dtype: Dtype = jnp.float32
+    stem_space_to_depth: bool = True
 
     @nn.compact
     def __call__(
@@ -75,9 +137,9 @@ class ResNet18(nn.Module):
         return_features: bool = False,
     ):
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="stem_conv",
+        x = StemConv(
+            64, dtype=self.dtype, space_to_depth=self.stem_space_to_depth,
+            name="stem_conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name="stem_bn", **BN_KW

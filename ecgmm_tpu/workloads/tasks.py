@@ -27,6 +27,16 @@ def _split_mutable(variables, model_state_keys=("batch_stats",)):
     return {k: v for k, v in variables.items() if k != "params"}
 
 
+def _compute_dtype(model) -> jnp.dtype:
+    """A model's compute dtype, for normalizing image inputs directly in
+    it (halves the stem's HBM traffic for bf16 models — pipeline.py)."""
+    d = getattr(model, "dtype", None)
+    if d is None:
+        cfg = getattr(model, "cfg", None)
+        d = getattr(cfg, "dtype", None)
+    return jnp.dtype(d) if d is not None else jnp.float32
+
+
 def _make_apply(model, batch_to_inputs: Callable):
     def apply(variables, batch: Batch, train: bool, rngs):
         inputs = batch_to_inputs(batch)
@@ -72,8 +82,10 @@ def make_signal_task(model, cfg: TrainConfig) -> Task:
 
 
 def make_image_task(model, cfg: TrainConfig) -> Task:
+    dtype = _compute_dtype(model)
+
     def inputs(batch: Batch):
-        return (normalize_images(batch.images),)
+        return (normalize_images(batch.images, dtype),)
 
     return Task(
         apply=_make_apply(model, inputs),
@@ -126,8 +138,14 @@ def make_spectrogram_task(model, cfg: TrainConfig) -> Task:
 
 
 def make_fusion_task(model, cfg: TrainConfig) -> Task:
+    dtype = _compute_dtype(model)
+
     def inputs(batch: Batch):
-        return (normalize_images(batch.images), batch.signals, batch.clinical)
+        return (
+            normalize_images(batch.images, dtype),
+            batch.signals,
+            batch.clinical,
+        )
 
     def loss(outputs: FusionOutput, batch: Batch):
         total = losses.fusion_loss(

@@ -109,3 +109,29 @@ def test_resnet18_odd_input_size_parity():
         fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_stem_space_to_depth_identity():
+    """The space-to-depth stem (StemConv.space_to_depth=True, the TPU MXU
+    stem transform) is a pure rearrangement of the SAME (7,7,3,64) kernel
+    parameter — outputs must match the plain 7×7/s2 conv to f32 noise."""
+    from ecgmm_tpu.models.resnet18 import StemConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 224, 224, 3), jnp.float32)
+    plain = StemConv(64, space_to_depth=False)
+    s2d = StemConv(64, space_to_depth=True)
+    variables = plain.init(rng, x)
+    y_plain = plain.apply(variables, x)
+    y_s2d = s2d.apply(variables, x)
+    assert y_plain.shape == y_s2d.shape == (2, 112, 112, 64)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_plain), rtol=0, atol=1e-5
+    )
+    # odd spatial sizes fall back to the plain conv path
+    y_odd = s2d.apply(variables, x[:, :223, :223, :])
+    np.testing.assert_allclose(
+        np.asarray(y_odd),
+        np.asarray(plain.apply(variables, x[:, :223, :223, :])),
+        rtol=0, atol=1e-5,
+    )
