@@ -269,3 +269,123 @@ def iterate_batches(
 
 def num_batches(n: int, batch_size: int, drop_remainder: bool = False) -> int:
     return n // batch_size if drop_remainder else -(-n // batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Streaming path for datasets over the HBM budget (SURVEY §2.4 comm row).
+# ---------------------------------------------------------------------------
+
+class HostArrays(NamedTuple):
+    """A split that stays in host RAM (numpy); batches are streamed to the
+    device through a double-buffered prefetcher instead of being gathered
+    from a device-resident pool. Produced by `to_host_resident` /
+    `fit_in_budget` when a split exceeds the HBM budget."""
+
+    images: Optional[np.ndarray]
+    signals: Optional[np.ndarray]
+    clinical: Optional[np.ndarray]
+    labels: np.ndarray
+    indices: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return int(self.labels.shape[0])
+
+
+def split_nbytes(arrays) -> int:
+    return sum(
+        a.nbytes for a in
+        (arrays.images, arrays.signals, arrays.clinical, arrays.labels)
+        if a is not None
+    )
+
+
+def to_host_resident(arrays: Arrays) -> HostArrays:
+    return HostArrays(
+        images=None if arrays.images is None else np.asarray(arrays.images),
+        signals=(
+            None if arrays.signals is None else np.asarray(arrays.signals)
+        ),
+        clinical=(
+            None if arrays.clinical is None else np.asarray(arrays.clinical)
+        ),
+        labels=np.asarray(arrays.labels),
+        indices=arrays.indices,
+    )
+
+
+def fit_in_budget(arrays: Arrays, hbm_budget_bytes: Optional[int]):
+    """Keep the split device-resident when it fits the budget; otherwise
+    demote it to HostArrays for the streaming engine path. budget None/0 =
+    unlimited (the 244-patient cohort and even full PTB-XL fit v5e HBM;
+    the budget exists so larger-than-HBM datasets still train)."""
+    if not hbm_budget_bytes or split_nbytes(arrays) <= hbm_budget_bytes:
+        return arrays
+    return to_host_resident(arrays)
+
+
+def prefetch_batches(
+    arrays: HostArrays,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int,
+    epoch: int = 0,
+    mesh=None,
+    sample_weights: Optional[np.ndarray] = None,
+    prefetch: int = 2,
+) -> Iterator[Batch]:
+    """Double-buffered host→device feeding: slice batches from host numpy,
+    device_put them ahead of consumption (JAX transfers are async — the
+    copy of batch i+k overlaps the compute of batch i), keep `prefetch`
+    batches in flight. The epoch plan (shuffle/weighting/padding) is
+    identical to iterate_batches, so streamed and resident training see
+    the same batches in the same order."""
+    import collections
+
+    n = arrays.n
+    rng_host = np.random.RandomState(seed + epoch)
+    if sample_weights is not None:
+        p = np.asarray(sample_weights, np.float64)
+        p = p / p.sum()
+        order = rng_host.choice(n, size=n, replace=True, p=p)
+    else:
+        order = np.arange(n)
+        if shuffle:
+            rng_host.shuffle(order)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def make(start: int) -> Batch:
+        idx = order[start:start + batch_size]
+        idx, mask = _pad_indices(idx, batch_size)  # static batch shape
+
+        def put(a, dtype=None):
+            if a is None:
+                return None
+            out = a[idx]
+            if dtype is not None:
+                out = out.astype(dtype, copy=False)
+            dev = jnp.asarray(out)
+            return jax.device_put(dev, sharding) if sharding is not None \
+                else dev
+
+        return Batch(
+            images=put(arrays.images),
+            signals=put(arrays.signals, np.float32),
+            clinical=put(arrays.clinical, np.float32),
+            labels=put(arrays.labels, np.int32),
+            mask=(
+                jax.device_put(jnp.asarray(mask), sharding)
+                if sharding is not None else jnp.asarray(mask)
+            ),
+        )
+
+    starts = list(range(0, n, batch_size))
+    queue: "collections.deque[Batch]" = collections.deque()
+    for s in starts[:prefetch]:
+        queue.append(make(s))
+    for i, _ in enumerate(starts):
+        nxt = i + prefetch
+        if nxt < len(starts):
+            queue.append(make(starts[nxt]))
+        yield queue.popleft()

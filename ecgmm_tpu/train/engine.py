@@ -295,6 +295,44 @@ def evaluate(
     )
 
 
+def evaluate_scan(
+    task: Task, state: TrainState, arrays: Arrays, batch_size: int,
+    mesh=None, eval_epoch=None,
+) -> EvalResult:
+    """`evaluate` semantics in ONE device dispatch (lax.scan over batches,
+    like the in-fit validation path). On the relayed TPU each per-batch
+    dispatch costs real round-trip latency, so the final best/last test
+    protocol uses this instead of the eager `evaluate` loop. Pass a
+    prebuilt `eval_epoch` (from make_eval_epoch) to reuse its compiled
+    program across the best/last restores."""
+    if arrays.n == 0:
+        return EvalResult(
+            loss=float("nan"), accuracy=float("nan"),
+            logits=np.zeros((0, 2), np.float32),
+            labels=np.zeros((0,), np.int64), metrics={},
+        )
+    if eval_epoch is None:
+        eval_epoch = make_eval_epoch(task, arrays, mesh=mesh)
+    idx, mask = epoch_indices(
+        arrays.n, batch_size, shuffle=False, seed=0, epoch=0
+    )
+    losses, logits, labels, mets = eval_epoch(
+        state, jnp.asarray(idx), jnp.asarray(mask)
+    )
+    keep = np.asarray(mask).reshape(-1) > 0
+    flat_logits = np.asarray(logits).reshape(-1, logits.shape[-1])[keep]
+    flat_labels = np.asarray(labels).reshape(-1)[keep]
+    return EvalResult(
+        loss=float(jnp.mean(losses)),
+        accuracy=float((flat_logits.argmax(-1) == flat_labels).mean()),
+        logits=flat_logits,
+        labels=flat_labels,
+        metrics={
+            k: float(np.mean(np.asarray(v))) for k, v in mets.items()
+        },
+    )
+
+
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
@@ -338,15 +376,28 @@ def fit(
         prev_handler = _signal.signal(_signal.SIGTERM, _on_term)
     except ValueError:
         pass  # not the main thread — skip graceful-preemption hook
-    train_epoch = make_train_epoch(
-        task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
-    )
-    eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
+    # Splits over the HBM budget arrive as HostArrays and stream through
+    # the double-buffered prefetcher with a per-batch jitted step; device-
+    # resident splits use the one-dispatch scan-epoch program.
+    from ecgmm_tpu.data.pipeline import HostArrays, prefetch_batches
+
+    train_streamed = isinstance(train_arrays, HostArrays)
+    val_streamed = isinstance(val_arrays, HostArrays)
+    if train_streamed:
+        stream_step = make_train_step(task, tx, donate=cfg.donate_state)
+    else:
+        train_epoch = make_train_epoch(
+            task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
+        )
+    if val_streamed:
+        stream_eval_step = make_eval_step(task)
+    else:
+        eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
     if mesh is not None:
         state = replicate(state, mesh)
 
     # fixed validation plan (no shuffle) — computed once
-    if val_arrays.n > 0:
+    if val_arrays.n > 0 and not val_streamed:
         vidx, vmask = epoch_indices(
             val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
         )
@@ -359,19 +410,70 @@ def fit(
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
-        idx, mask = epoch_indices(
-            train_arrays.n, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            epoch=epoch, sample_weights=train_sample_weights,
-        )
-        n_batches = idx.shape[0]
-        # ONE device dispatch for the whole training epoch (lax.scan)
-        state, tm = train_epoch(state, jnp.asarray(idx), jnp.asarray(mask))
+        if train_streamed:
+            # per-batch dispatch with 2-deep host→device prefetch; metric
+            # scalars stay on device until the end-of-epoch sync
+            step_mets: List[Dict[str, Any]] = []
+            n_batches = 0
+            for batch in prefetch_batches(
+                train_arrays, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                epoch=epoch, mesh=mesh,
+                sample_weights=train_sample_weights,
+            ):
+                state, mets = stream_step(state, batch)
+                step_mets.append(mets)
+                n_batches += 1
+            tm = {
+                "loss_sum": jnp.sum(
+                    jnp.stack([m["loss"] for m in step_mets])
+                ),
+                "correct": jnp.sum(
+                    jnp.stack([m["correct"] for m in step_mets])
+                ),
+                "count": jnp.sum(
+                    jnp.stack([m["count"] for m in step_mets])
+                ),
+            }
+            if step_mets and "soft_weights" in step_mets[-1]:
+                tm["soft_weights"] = step_mets[-1]["soft_weights"]
+        else:
+            idx, mask = epoch_indices(
+                train_arrays.n, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                epoch=epoch, sample_weights=train_sample_weights,
+            )
+            n_batches = idx.shape[0]
+            # ONE device dispatch for the whole training epoch (lax.scan)
+            state, tm = train_epoch(
+                state, jnp.asarray(idx), jnp.asarray(mask)
+            )
 
         avg_train_loss = float(tm["loss_sum"]) / max(n_batches, 1)
         train_acc = float(tm["correct"]) / max(float(tm["count"]), 1.0)
         last_mets: Dict[str, Any] = tm
 
-        if val_arrays.n > 0:
+        if val_streamed and val_arrays.n > 0:
+            losses_l, logits_l, labels_l = [], [], []
+            for batch in prefetch_batches(
+                val_arrays, cfg.eval_bs, shuffle=False, seed=0, epoch=0,
+                mesh=mesh,
+            ):
+                out = stream_eval_step(state, batch)
+                keep = np.asarray(batch.mask) > 0
+                losses_l.append(float(out["loss"]))
+                logits_l.append(np.asarray(out["logits"])[keep])
+                labels_l.append(np.asarray(batch.labels)[keep])
+            flat_logits = np.concatenate(logits_l)
+            flat_labels = np.concatenate(labels_l)
+            val = EvalResult(
+                loss=float(np.mean(losses_l)),
+                accuracy=float(
+                    (flat_logits.argmax(-1) == flat_labels).mean()
+                ),
+                logits=flat_logits,
+                labels=flat_labels,
+                metrics={},
+            )
+        elif val_arrays.n > 0:
             vlosses, vlogits, vlabels, vmets = eval_epoch(state, vidx, vmask)
             keep = np.asarray(vmask).reshape(-1) > 0
             flat_logits = np.asarray(vlogits).reshape(
@@ -428,11 +530,15 @@ def fit(
         state = dataclasses.replace(
             state, epoch=jnp.asarray(epoch + 1, jnp.int32)
         )
-        if ckpt is not None:
-            ckpt.save("last", state)
 
         # Early stop & plateau LR decay (reference train.py:145-167).
-        if val.loss < float(state.best_val_loss):
+        # The counters are updated BEFORE any checkpoint write so 'last'
+        # persists the fully-updated state: saving it earlier left
+        # best_val_loss/counters one epoch stale, and a crash + --resume
+        # could then overwrite 'best' with a worse model and shift the
+        # early-stop/LR-decay timing (round-1 advisor finding).
+        improved = val.loss < float(state.best_val_loss)
+        if improved:
             state = dataclasses.replace(
                 state,
                 best_val_loss=jnp.asarray(val.loss, jnp.float32),
@@ -440,9 +546,6 @@ def fit(
                 lr_reduce_counter=jnp.zeros((), jnp.int32),
             )
             best_epoch = epoch
-            if ckpt is not None:
-                ckpt.save("best", state)
-                ckpt.save_epoch(epoch + 1, state)
         else:
             state = dataclasses.replace(
                 state,
@@ -458,13 +561,21 @@ def fit(
                         ),
                         lr_reduce_counter=jnp.zeros((), jnp.int32),
                     )
-            if int(state.early_stop_counter) >= cfg.patience:
-                stopped_early = True
-                break
+
+        if ckpt is not None:
+            ckpt.save("last", state)
+            if improved:
+                ckpt.save("best", state)
+                ckpt.save_epoch(epoch + 1, state)
+
+        if not improved and int(state.early_stop_counter) >= cfg.patience:
+            stopped_early = True
+            break
 
         if preempted["flag"]:
             if ckpt is not None:
-                ckpt.save("last", state)
+                # About to die: block for durability (async elsewhere).
+                ckpt.save("last", state, block=True)
             break
 
     if prev_handler is not None:
@@ -474,6 +585,9 @@ def fit(
             _signal.signal(_signal.SIGTERM, prev_handler)
         except ValueError:
             pass
+
+    if ckpt is not None:
+        ckpt.wait_until_finished()  # drain async writes before returning
 
     return FitResult(
         state=state, history=history, best_epoch=best_epoch,

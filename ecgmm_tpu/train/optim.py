@@ -41,16 +41,35 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: Optional[int] = None
 
 
 def get_lr(opt_state) -> Optional[float]:
-    """Current injected learning rate, if the optimizer exposes one."""
+    """Current injected learning rate, if the optimizer exposes one.
+
+    Traverses optax.chain tuple states (e.g. the weight_decay wrapper in
+    make_optimizer) so plateau decay/LR logging keep working for any
+    composition around the inject_hyperparams core."""
     hp = getattr(opt_state, "hyperparams", None)
     if hp and "learning_rate" in hp:
         return float(hp["learning_rate"])
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            if isinstance(s, tuple):
+                lr = get_lr(s)
+                if lr is not None:
+                    return lr
     return None
 
 
 def scale_lr(opt_state, factor: float):
     """LR ← LR × factor (the reference's ÷10-after-2-stale-epochs decay).
-    Only valid for inject_hyperparams optimizers."""
-    hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = hp["learning_rate"] * factor
-    return opt_state._replace(hyperparams=hp)
+    Traverses chain tuples like get_lr; a no-op when no injected LR
+    exists (callers gate on get_lr(...) is not None)."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp is not None and "learning_rate" in hp:
+        hp = dict(hp)
+        hp["learning_rate"] = hp["learning_rate"] * factor
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(
+            scale_lr(s, factor) if isinstance(s, tuple) else s
+            for s in opt_state
+        )
+    return opt_state

@@ -201,8 +201,10 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, num_epochs=args.epochs)
     )
+    from ecgmm_tpu.utils.cache import with_cache_recovery
+
     data = load_data(cfg, "synthetic", args.n_synth)
-    result, ev = run_pipeline(cfg, data, args.run_dir)
+    result, ev = with_cache_recovery(run_pipeline, cfg, data, args.run_dir)
     print(f"fusion test accuracy: {ev.accuracy:.4f}")
 
 

@@ -281,6 +281,18 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     writer = MetricWriter(os.path.join(t.log_dir, stamp))
     # inverse-class-frequency weighted sampling for the PTB-XL task
     # (reference train_signal_only_ptb.py:230-241)
+    # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES; 0 = unlimited)
+    # stay host-resident and stream through the engine's double-buffered
+    # prefetch path. Test stays device-resident (≈10% of the cohort; the
+    # one-dispatch evaluate_scan test protocol needs a device pool).
+    budget = int(os.environ.get("ECGMM_HBM_BUDGET_BYTES", "0") or 0)
+    if budget:
+        data = dataclasses.replace(
+            data,
+            train=pipeline.fit_in_budget(data.train, budget),
+            val=pipeline.fit_in_budget(data.val, budget),
+        )
+
     weights = None
     if cfg.name == "ptbxl_af":
         lab = np.asarray(data.train.labels)
@@ -292,13 +304,16 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         train_sample_weights=weights,
     )
 
-    # Test protocol: best then last (reference train.py:174-336).
-    eval_step = engine.make_eval_step(task)
+    # Test protocol: best then last (reference train.py:174-336), each as
+    # ONE scan dispatch; the compiled eval program is shared between tags.
+    eval_epoch = engine.make_eval_epoch(task, data.test, mesh=mesh)
     out_dir = os.path.join(t.output_dir, stamp)
     results = {}
     for tag in ("best", "last"):
         st = ckpt.restore(tag, result.state) if ckpt.exists(tag) else result.state
-        ev = engine.evaluate(eval_step, st, data.test, t.eval_bs, mesh)
+        ev = engine.evaluate_scan(
+            task, st, data.test, t.eval_bs, mesh, eval_epoch=eval_epoch
+        )
         results[tag] = test_report(
             ev.logits, ev.labels, out_dir, tag,
             threshold_search=(t.loss == "focal"),
@@ -344,8 +359,12 @@ def main(argv=None):
             cfg, data=dataclasses.replace(cfg.data, data_dir=args.data_dir)
         )
 
+    from ecgmm_tpu.utils.cache import with_cache_recovery
+
     data = load_data(cfg, args.data, args.n_synth)
-    run(cfg, data, run_dir=args.run_dir, resume=args.resume)
+    with_cache_recovery(
+        run, cfg, data, run_dir=args.run_dir, resume=args.resume
+    )
 
 
 if __name__ == "__main__":

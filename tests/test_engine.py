@@ -185,3 +185,105 @@ def test_onecycle_schedule_runs(small_data, mesh8):
     )
     assert len(result.history) == 2
     assert np.isfinite(result.history[-1]["Loss/Train"])
+
+
+def test_last_checkpoint_carries_updated_counters(small_data, tmp_path,
+                                                  mesh8):
+    """'last' must be written AFTER best_val_loss / early-stop counters are
+    updated for the epoch just evaluated — otherwise a crash + --resume
+    re-enters the improvement branch with a stale best and can overwrite
+    'best' with a worse model (round-1 advisor finding)."""
+    cfg = TrainConfig(batch_size=16, num_epochs=3, lr=1e-3, patience=10)
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    result = engine.fit(
+        task, state, tx, small_data.train, small_data.val, cfg,
+        mesh=mesh8, ckpt=ckpt, verbose=False,
+    )
+    _, _, fresh = _signal_setup(cfg)
+    restored = ckpt.restore("last", fresh)
+    best_so_far = min(h["Loss/Val"] for h in result.history)
+    assert float(restored.best_val_loss) == pytest.approx(
+        best_so_far, rel=1e-6
+    )
+    assert float(restored.best_val_loss) == pytest.approx(
+        float(result.state.best_val_loss), rel=1e-6
+    )
+    assert int(restored.early_stop_counter) == int(
+        result.state.early_stop_counter
+    )
+    assert int(restored.lr_reduce_counter) == int(
+        result.state.lr_reduce_counter
+    )
+
+
+def test_async_checkpoint_saves_overlap(tmp_path, monkeypatch):
+    """save() must return without waiting for the disk write (SURVEY §5
+    async checkpointing); wait_until_finished() drains and re-raises."""
+    import time as _time
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    writes = []
+
+    def slow_write(name, host_state):
+        _time.sleep(0.5)
+        writes.append(name)
+
+    monkeypatch.setattr(ckpt, "_write", slow_write)
+    state = {"w": jnp.arange(4.0)}
+    t0 = _time.perf_counter()
+    ckpt.save("last", state)
+    enqueue_dt = _time.perf_counter() - t0
+    assert enqueue_dt < 0.4, f"async save blocked for {enqueue_dt:.2f}s"
+    ckpt.wait_until_finished()
+    assert writes == ["last"]
+    # block=True is synchronous (the SIGTERM durability path)
+    t0 = _time.perf_counter()
+    ckpt.save("last", state, block=True)
+    assert _time.perf_counter() - t0 >= 0.5
+    assert writes == ["last", "last"]
+
+    # writer errors surface on drain, not silently
+    def bad_write(name, host_state):
+        raise IOError("disk full")
+
+    monkeypatch.setattr(ckpt, "_write", bad_write)
+    ckpt.save("best", state)
+    with pytest.raises(IOError):
+        ckpt.wait_until_finished()
+
+
+def test_async_checkpoint_snapshot_is_donation_safe(tmp_path):
+    """The device→host snapshot happens inside save(): mutating/replacing
+    the live state afterwards must not corrupt the checkpoint."""
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    state = {"w": jnp.arange(4.0)}
+    ckpt.save("last", state)
+    state["w"] = state["w"] * 0.0  # simulate donation/overwrite
+    restored = ckpt.restore("last", {"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]), np.arange(4.0)
+    )
+    ckpt.close()
+
+
+def test_weight_decay_keeps_plateau_lr_working(small_data, mesh8):
+    """weight_decay wraps the optimizer in optax.chain; get_lr/scale_lr
+    must traverse the chain state or plateau decay silently dies
+    (round-1 advisor finding)."""
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=1, lr=1e-3, weight_decay=1e-4,
+        schedule="constant", patience=10,
+    )
+    model, tx, state = _signal_setup(cfg)
+    assert optim_lib.get_lr(state.opt_state) == pytest.approx(1e-3)
+    scaled = optim_lib.scale_lr(state.opt_state, 0.1)
+    assert optim_lib.get_lr(scaled) == pytest.approx(1e-4)
+    # and the full fit loop still runs with decay available
+    task = make_signal_task(model, cfg)
+    result = engine.fit(
+        task, state, tx, small_data.train, small_data.val, cfg,
+        mesh=mesh8, verbose=False,
+    )
+    assert "LR" in result.history[0]

@@ -70,3 +70,35 @@ def test_scan_epoch_equals_per_batch_steps():
     )
     for k in ba:
         np.testing.assert_allclose(ba[k], bb[k], atol=1e-5, err_msg=k)
+
+
+def test_evaluate_scan_equals_eager_evaluate(mesh8):
+    """The one-dispatch test protocol (evaluate_scan, used by the final
+    best/last pass in workloads/run.py) must reproduce the eager per-batch
+    evaluate() exactly: same logits, loss, accuracy, metrics."""
+    from ecgmm_tpu.config import Config
+
+    cohort = synthetic.make_cohort(n=37, signal_len=256, img_hw=(16, 32))
+    data = pipeline.materialize_trimodal(cohort, Config())
+    cfg = TrainConfig(batch_size=16, donate_state=False)
+    model = ResNet1DSE(num_classes=2, base_filters=16)
+    import optax
+
+    task = make_signal_task(model, cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 256, 1)))
+    state = create_state(variables, optax.sgd(0.1), jax.random.PRNGKey(0))
+    from ecgmm_tpu.parallel import replicate
+
+    state = replicate(state, mesh8)
+
+    # n=37 with bs=16 exercises the padded final batch on both paths
+    eager = engine.evaluate(
+        engine.make_eval_step(task), state, data.test, cfg.eval_bs, mesh8
+    )
+    scanned = engine.evaluate_scan(
+        task, state, data.test, cfg.eval_bs, mesh8
+    )
+    np.testing.assert_allclose(scanned.logits, eager.logits, atol=1e-5)
+    np.testing.assert_array_equal(scanned.labels, eager.labels)
+    assert scanned.accuracy == eager.accuracy
+    np.testing.assert_allclose(scanned.loss, eager.loss, rtol=1e-5)

@@ -96,3 +96,44 @@ def test_reserved_model_axis():
     parallelism."""
     mesh = make_mesh(MeshConfig(n_data=4, n_model=2))
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_weak_scaling_per_device_flops_flat():
+    """Weak-scaling guard: with the per-device batch held fixed, the
+    PARTITIONED step program's per-device FLOPs must stay (near-)flat from
+    1 → 8 devices. Catches DP regressions where some tensor silently
+    becomes replicated work (each device computing the full global batch)
+    that the bit-equivalence test above cannot see."""
+    import optax
+
+    t = 256
+
+    def per_device_flops(n_dev):
+        mesh = make_mesh(MeshConfig(n_data=n_dev))
+        bs = 8 * n_dev  # fixed per-device batch of 8
+        cfg = TrainConfig(batch_size=bs, lr=1e-3, donate_state=False)
+        model = ResNet1DSE(num_classes=2, base_filters=16)
+        tx = optax.sgd(1.0)
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, t, 1)))
+        state = replicate(
+            create_state(variables, tx, jax.random.PRNGKey(0)), mesh
+        )
+        batch = _make_batch(bs, t, batch_sharding(mesh))
+        step = jax.jit(
+            lambda s, b: engine.make_train_step(
+                make_signal_task(model, cfg), tx, donate=False
+            )(s, b)
+        )
+        compiled = step.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        if not cost or "flops" not in cost:
+            pytest.skip("backend reports no cost analysis")
+        return float(cost["flops"])
+
+    f1 = per_device_flops(1)
+    f8 = per_device_flops(8)
+    # flat within 35% (collectives/padding add a little per-device work;
+    # a replication bug shows up as ~8x)
+    assert f8 < 1.35 * f1, (f1, f8)
