@@ -80,12 +80,20 @@ def xai_report(
     test_idx = test_arrays.indices
 
     frames: Dict[int, pd.DataFrame] = {}
-    if method == "shap":
+    if method in ("shap", "deep_shap"):
         background = class_balanced_background(emb_train, labels_train)
-        per_class = explain_fusion(
-            model, variables, emb_test, background, dims,
-            n_samples=n_samples,
-        )
+        if method == "deep_shap":
+            # shap.DeepExplainer flavor (reference shap_fusion.py:42-55)
+            from ecgmm_tpu.explain.deep_shap import explain_fusion_deep
+
+            per_class = explain_fusion_deep(
+                model, variables, emb_test, background, dims,
+            )
+        else:
+            per_class = explain_fusion(
+                model, variables, emb_test, background, dims,
+                n_samples=n_samples,
+            )
         for c, contrib in per_class.items():
             frames[c] = pd.DataFrame({"index": test_idx, **contrib})
     elif method == "lime":
@@ -132,7 +140,9 @@ def main(argv=None):
     from ecgmm_tpu.workloads.run import load_data
 
     p = argparse.ArgumentParser()
-    p.add_argument("--method", choices=["shap", "lime"], default="shap")
+    p.add_argument(
+        "--method", choices=["shap", "deep_shap", "lime"], default="shap"
+    )
     p.add_argument("--n-synth", type=int, default=64)
     p.add_argument("--out-dir", default="./output")
     args = p.parse_args(argv)

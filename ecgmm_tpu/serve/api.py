@@ -135,10 +135,30 @@ class ServingPipeline:
 
             return gradient_shap(head, emb, bg, cls, n_samples=32)
 
+        @jax.jit
+        def clin_attr(img, sig, clin, cls):
+            """Per-dimension attribution over the raw clinical INPUTS
+            (age, wt) — integrated gradients of the predicted-class logit
+            along the straight path from the scaled cohort mean (zeros
+            after the StandardScaler) to the request's clinical vector,
+            midpoint rule, 8 steps. The app's pie chart renders age and wt
+            as separate features (Groove/app/(tabs)/ResultScreen.tsx:51-56),
+            so splitting the clinical-chunk SHAP 50/50 would fabricate the
+            numbers; this measures each dimension's actual pull."""
+
+            def f(c):
+                out = model.apply(variables, img, sig, c)
+                return out.fusion_logits[0, cls]
+
+            alphas = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8.0
+            grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
+            return (clin * jnp.mean(grads, axis=0))[0]  # (n_clin,)
+
         self._forward = forward
         self._encode = encode
         self._gradcam = gradcam
         self._shap = shap
+        self._clin_attr = clin_attr
 
     @classmethod
     def from_run(
@@ -291,11 +311,19 @@ class ServingPipeline:
         attr = self._shap(emb, jnp.asarray(pred))
         contrib = modality_contributions(np.asarray(attr), self.dims)
         clin_pct = float(contrib["Clinical_%"][0])
+        # split the clinical chunk between age and wt by each input
+        # dimension's integrated-gradients attribution (not 50/50)
+        ca = np.abs(np.asarray(self._clin_attr(
+            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin),
+            jnp.asarray(pred),
+        )))
+        total = float(ca.sum())
+        share = ca / total if total > 0 else np.full(ca.shape, 1.0 / len(ca))
         feature_importance = {
             "image": float(contrib["Image_%"][0]),
             "signal": float(contrib["Signal_%"][0]),
-            "age": clin_pct / 2.0,
-            "wt": clin_pct / 2.0,
+            "age": clin_pct * float(share[0]),
+            "wt": clin_pct * float(share[1]),
         }
 
         # 7. clinical report (offline rule-based backend; the GPT-4o path
@@ -394,10 +422,12 @@ def main(argv=None):
                    help="demo pipeline (shipped PTB-XL encoder, random heads)")
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args(argv)
+    from ecgmm_tpu.utils.cache import with_cache_recovery
+
     pipeline = ServingPipeline.demo()
     if not args.no_warmup:
         print("warming up (compiling the request path)…")
-        pipeline.warmup()
+        with_cache_recovery(pipeline.warmup)
     print(f"serving on :{args.port}{ENDPOINT}")
     serve(pipeline, args.port)
 

@@ -149,3 +149,82 @@ def test_tabnet_masks_artifacts(tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+@pytest.fixture(scope="module")
+def small_fusion():
+    cfg = ModelConfig(dtype="float32")
+    model = ECGMultimodalModel(cfg=cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, 32, 32, 3)), jnp.ones((1, 256)), jnp.ones((1, 2)),
+    )
+    dims = (cfg.image_dim, cfg.signal_dim, cfg.clinical_dim)
+    return model, variables, dims
+
+
+def test_deep_shap_head_forward_matches_model(small_fusion, rng):
+    """deep_shap re-derives the fusion head from raw params; it must
+    reproduce fuse_embeddings exactly or attributions drift silently."""
+    from ecgmm_tpu.explain.deep_shap import head_forward
+
+    model, variables, dims = small_fusion
+    d = sum(dims)
+    e = jnp.asarray(rng.normal(size=(5, d)).astype(np.float32))
+    d0, d1, _ = dims
+    want = model.apply(
+        variables, e[:, :d0], e[:, d0:d0 + d1], e[:, d0 + d1:],
+        method=type(model).fuse_embeddings,
+    )
+    got = head_forward(variables, e, dims)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
+
+
+def test_deep_shap_zero_at_reference(small_fusion, rng):
+    """x == reference ⇒ every attribution is exactly 0 (m ⊙ (x−r))."""
+    from ecgmm_tpu.explain.deep_shap import deep_shap
+
+    model, variables, dims = small_fusion
+    d = sum(dims)
+    e = jnp.asarray(rng.normal(size=(3, d)).astype(np.float32))
+    attr = deep_shap(variables, e, e[:1].repeat(4, 0), 1, dims)
+    # background rows equal to sample 0 → sample 0's attribution is 0
+    np.testing.assert_array_equal(np.asarray(attr)[0], 0.0)
+
+
+def test_deep_shap_rescale_completeness(small_fusion, rng):
+    """Single-reference DeepLIFT: Σ attribution ≈ f(x) − f(r). Exact for
+    the linear+ReLU chain; approximate through LayerNorm (same linear_1d
+    treatment as shap.DeepExplainer), so the tolerance is loose but the
+    signal must clearly track the output delta."""
+    from ecgmm_tpu.explain.deep_shap import deep_shap, head_forward
+
+    model, variables, dims = small_fusion
+    d = sum(dims)
+    x = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    # references near the samples keep the LN locally ~linear
+    r = x + 0.05 * jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    for i in range(4):
+        attr = deep_shap(variables, x[i:i + 1], r[i:i + 1], 1, dims)
+        delta = float(
+            head_forward(variables, x[i:i + 1], dims)[0, 1]
+            - head_forward(variables, r[i:i + 1], dims)[0, 1]
+        )
+        got = float(np.asarray(attr).sum())
+        assert abs(got - delta) <= 0.2 * abs(delta) + 1e-3, (got, delta)
+
+
+def test_explain_fusion_deep_contract(small_fusion, rng):
+    from ecgmm_tpu.explain.deep_shap import explain_fusion_deep
+
+    model, variables, dims = small_fusion
+    d = sum(dims)
+    emb = rng.normal(size=(4, d)).astype(np.float32)
+    bg = rng.normal(size=(8, d)).astype(np.float32)
+    out = explain_fusion_deep(model, variables, emb, bg, dims)
+    assert set(out) == {0, 1}
+    for c in out.values():
+        total = c["Image_%"] + c["Signal_%"] + c["Clinical_%"]
+        np.testing.assert_allclose(total, 100.0, atol=1e-4)

@@ -58,9 +58,13 @@ def test_signal_features_hr():
 
 
 @pytest.fixture(scope="module")
-def server():
-    pipeline = ServingPipeline.demo()
-    httpd = serve(pipeline, port=18080, background=True)
+def demo_pipeline():
+    return ServingPipeline.demo()
+
+
+@pytest.fixture(scope="module")
+def server(demo_pipeline):
+    httpd = serve(demo_pipeline, port=18080, background=True)
     yield "http://127.0.0.1:18080"
     httpd.shutdown()
 
@@ -131,3 +135,51 @@ def test_http_endpoint_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 404
+
+
+def test_clinical_attribution_is_per_feature(demo_pipeline):
+    """Age and wt must get their own attributions (ResultScreen renders
+    them as separate pie slices); round 1 fabricated a 50/50 split."""
+    import jax.numpy as jnp
+
+    p = demo_pipeline
+    img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    sig = jnp.zeros((1, 2476), jnp.float32)
+
+    # Exact IG property with a zero baseline: a feature AT the baseline
+    # (wt = 0 here) has exactly zero attribution, while age != 0 pulls.
+    clin = jnp.asarray([[2.0, 0.0]], jnp.float32)
+    attr = np.asarray(p._clin_attr(img, sig, clin, jnp.asarray(1)))
+    assert attr.shape == (2,)
+    assert attr[1] == 0.0
+    assert attr[0] != 0.0
+
+    # generic inputs: the two dimensions differ (no fabricated tie)
+    clin2 = jnp.asarray([[1.5, -0.7]], jnp.float32)
+    attr2 = np.asarray(p._clin_attr(img, sig, clin2, jnp.asarray(0)))
+    assert attr2[0] != attr2[1]
+
+
+def test_feature_importance_age_wt_not_tied(server):
+    from PIL import Image
+
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="JPEG")
+    body, ctype = _multipart(
+        {
+            "file": ("photo.jpg", buf.getvalue()),
+            "questionnaire": (
+                None,
+                json.dumps({"age": 80, "weight": 55}).encode(),
+            ),
+        }
+    )
+    req = urllib.request.Request(
+        server + ENDPOINT, data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        fi = json.loads(resp.read())["feature_importance"]
+    assert fi["age"] != fi["wt"]
+    assert fi["age"] >= 0.0 and fi["wt"] >= 0.0
