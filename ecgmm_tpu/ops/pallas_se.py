@@ -12,13 +12,23 @@ Forward is Pallas; backward reuses the XLA VJP of the reference
 expression (custom_vjp), keeping gradients bit-consistent with the
 unfused module.
 
-STATUS (v5e, 2026-08): natively-compiled output matches the reference to
-~3e-5 max abs (f32 reduction-order noise; verified at B∈{8..256},
-T aligned and unaligned) — an earlier "miscompile" report was a
-too-strict 2e-5 tolerance. It remains SLOWER than XLA's fusion at these
-shapes (15.6 ms vs 2.9 ms at B=256, T=619, C=256), so the op stays
-opt-in (use_pallas defaults False; the XLA branch is the production
-default).
+STATUS (v5e, round 2, 2026-08-16 — RETIRED TO DOCUMENTED EXPERIMENT):
+numerically correct in f32 AND bf16 (round 2 fixed an f32-into-bf16-ref
+store that crashed the bf16 path on hardware). Re-measured with the
+loop-hoisting-proof scan methodology at the production shape
+(B=256, T=619, C=256):
+
+    f32 : XLA 0.53 ms (613 GB/s, ~ the HBM bound)  vs Pallas 0.98 ms
+    bf16: XLA 0.012 ms (no materialization at all) vs Pallas 0.247 ms
+
+XLA's fusion runs this op AT the bandwidth bound standalone and fuses it
+into neighbors inside real programs (bf16 shows the output never hits
+HBM) — a standalone kernel is structurally unable to win here, because
+calling it pins a materialization boundary XLA would otherwise eliminate.
+The op therefore stays opt-in (use_pallas=False everywhere) as the repo's
+worked example of Pallas custom_vjp kernel plumbing; the XLA branch is
+the production path. Round-1's 15.6 ms / 2.9 ms figures were
+per-dispatch timings inflated by relay latency — superseded by the above.
 """
 
 from __future__ import annotations
@@ -58,7 +68,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
         jnp.dot(y, w2_ref[:, :], preferred_element_type=jnp.float32)
         + b2_ref[0, :]
     )
-    out_ref[:, :, :] = x * y[:, None, :]
+    out_ref[:, :, :] = (x * y[:, None, :]).astype(out_ref.dtype)
 
 
 def _pallas_forward(x, w1, b1, w2, b2, interpret):

@@ -98,3 +98,25 @@ def test_fused_focal_matches_train_loss(rng):
     got = fused_focal_loss(logits, labels, mask, 1.0, 2.0, True)
     want = focal_loss(logits, labels, mask)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_fused_se_bfloat16_dtype_preserved(rng):
+    """bf16 is the production compute dtype; round 2 fixed an
+    f32-into-bf16-ref store that crashed the kernel on hardware. The
+    kernel must return the input dtype and match the reference within
+    bf16 resolution."""
+    from ecgmm_tpu.ops.pallas_se import fused_se, reference_se
+
+    b, t, c, r = 8, 40, 16, 4
+    x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(c, r)) * 0.3, jnp.float32)
+    b1 = jnp.zeros((r,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(r, c)) * 0.3, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    got = fused_se(x, w1, b1, w2, b2)
+    assert got.dtype == jnp.bfloat16
+    want = reference_se(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.05,
+    )
