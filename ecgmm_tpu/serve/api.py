@@ -154,11 +154,51 @@ class ServingPipeline:
             grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
             return (clin * jnp.mean(grads, axis=0))[0]  # (n_clin,)
 
+        @jax.jit
+        def predict_all(img, sig, clin):
+            """The WHOLE request's device work in one program: forward,
+            Grad-CAM, embedding SHAP, per-feature clinical IG. On relayed
+            backends every dispatch pays a real round trip (~tens of ms),
+            so collapsing the previous five jit calls into one is the
+            dominant serving-latency lever; XLA also CSEs the encoder
+            forwards shared by the prediction and the explainers."""
+            feats = model.apply(
+                variables, img, sig, clin, method=type(model).encode
+            )
+            img_f, sig_f, clin_f = feats[:3]
+            emb = jnp.concatenate([img_f, sig_f, clin_f], axis=1)
+            logits = model.apply(
+                variables, img_f, sig_f, clin_f,
+                method=type(model).fuse_embeddings,
+            )
+            probs = jax.nn.softmax(logits, -1)
+            pred = jnp.argmax(probs[0])
+            cam, _ = grad_cam_fusion_image(
+                model, variables, img, pred[None]
+            )
+            attr = gradient_shap(
+                lambda e: model.apply(
+                    variables, e[:, :d0], e[:, d0:d0 + d1],
+                    e[:, d0 + d1:], method=type(model).fuse_embeddings,
+                ),
+                emb, bg, pred, n_samples=32,
+            )
+
+            def f(c):
+                out = model.apply(variables, img, sig, c)
+                return out.fusion_logits[0, pred]
+
+            alphas = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8.0
+            grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
+            ca = (clin * jnp.mean(grads, axis=0))[0]
+            return probs, pred, cam, attr, ca
+
         self._forward = forward
         self._encode = encode
         self._gradcam = gradcam
         self._shap = shap
         self._clin_attr = clin_attr
+        self._predict_all = predict_all
 
     @classmethod
     def from_run(
@@ -286,37 +326,37 @@ class ServingPipeline:
         if self.clinical_scaler is not None:
             clin = np.asarray(self.clinical_scaler.transform(clin))
 
-        # 4. fusion forward (jitted)
-        probs = np.asarray(self._forward(
-            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
-        ))[0]
-        pred = int(np.argmax(probs))
-        label = "Abnormal" if pred == 1 else "Normal"
-
-        # 5. Grad-CAM overlay on the original strip (jitted)
-        cam = self._gradcam(jnp.asarray(img_norm), jnp.asarray([pred]))
-        cam_full = np.asarray(jax.image.resize(
-            cam, (1, image_u8.shape[0], image_u8.shape[1]), "bilinear"
-        ))[0]
-        overlay = overlay_heatmap(image_u8, cam_full)
-        buf = io.BytesIO()
-        Image.fromarray(overlay).save(buf, format="PNG")
-        heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
-
-        # 6. modality attribution via gradient SHAP on the fusion head
-        # (jitted; class index is a traced argument)
-        emb = self._encode(
+        # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
+        # device dispatch (see _predict_all)
+        probs_a, pred_a, cam, attr, ca_a = self._predict_all(
             jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
         )
-        attr = self._shap(emb, jnp.asarray(pred))
+        probs = np.asarray(probs_a)[0]
+        pred = int(pred_a)
+        label = "Abnormal" if pred == 1 else "Normal"
+
+        # upsample the CAM to the original strip on the HOST (PIL bilinear
+        # on a float map — the CAM is 7x7-native so nothing is lost) and
+        # encode with the fastest zlib level: the previous device-side
+        # jax.image.resize + default-level PNG encode was 168 ms of a
+        # ~230 ms request, vs 36 ms for ALL the model work.
+        cam_small = np.asarray(cam, np.float32)[0]
+        cam_full = np.asarray(
+            Image.fromarray(cam_small, mode="F").resize(
+                (image_u8.shape[1], image_u8.shape[0]),
+                Image.Resampling.BILINEAR,
+            )
+        )
+        overlay = overlay_heatmap(image_u8, cam_full)
+        buf = io.BytesIO()
+        Image.fromarray(overlay).save(buf, format="PNG", compress_level=1)
+        heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
+
         contrib = modality_contributions(np.asarray(attr), self.dims)
         clin_pct = float(contrib["Clinical_%"][0])
         # split the clinical chunk between age and wt by each input
         # dimension's integrated-gradients attribution (not 50/50)
-        ca = np.abs(np.asarray(self._clin_attr(
-            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin),
-            jnp.asarray(pred),
-        )))
+        ca = np.abs(np.asarray(ca_a))
         total = float(ca.sum())
         share = ca / total if total > 0 else np.full(ca.shape, 1.0 / len(ca))
         feature_importance = {

@@ -83,9 +83,10 @@ def _fold_auc(
         task, state, tx, arrays["train"], arrays["val"], cfg.train,
         mesh=mesh, verbose=False,
     )
-    ev = engine.evaluate(
-        engine.make_eval_step(task), result.state, arrays["test"],
-        cfg.train.eval_bs, mesh,
+    # one scan dispatch per fold's test pass (evaluate_scan == evaluate,
+    # tests/test_engine_equivalence.py)
+    ev = engine.evaluate_scan(
+        task, result.state, arrays["test"], cfg.train.eval_bs, mesh
     )
     probs = np.asarray(jax.nn.softmax(jnp.asarray(ev.logits))[:, 1])
     return float(M.auroc(jnp.asarray(probs), jnp.asarray(ev.labels)))

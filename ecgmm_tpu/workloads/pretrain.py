@@ -178,9 +178,8 @@ def run_pipeline(
         task, state, tx, data.train, data.val, t,
         mesh=mesh, ckpt=ckpt, verbose=verbose,
     )
-    ev = engine.evaluate(
-        engine.make_eval_step(task), result.state, data.test, t.eval_bs,
-        mesh,
+    ev = engine.evaluate_scan(
+        task, result.state, data.test, t.eval_bs, mesh
     )
     return result, ev
 
