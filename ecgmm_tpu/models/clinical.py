@@ -11,9 +11,12 @@ Two variants, matching the reference:
     shared/independent GLU feature transformers, sparsity M_loss, and
     forward_masks explainability are all implemented here natively.
 
-Divergence note: pytorch_tabnet uses Ghost BatchNorm (virtual batch 128);
-cohort batches here are ≤128 so plain BatchNorm is mathematically
-identical at these sizes and is used instead (documented, tested).
+Ghost BatchNorm parity: pytorch_tabnet normalizes GLU/attentive-transformer
+activations per virtual batch of 128 (GBN — torch `x.chunk(ceil(B/128))`
+through one shared BatchNorm1d). `_ghost_bn` reproduces that exactly,
+including the sequential running-stat updates per chunk; batches ≤128
+degenerate to plain BatchNorm (bit-identical to round 1, tested). The
+initial input BN is plain BatchNorm1d in pytorch_tabnet and stays plain.
 """
 
 from __future__ import annotations
@@ -65,20 +68,43 @@ class ClinicalMLPEncoder(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
 
 
+def _ghost_bn(x: jnp.ndarray, train: bool, momentum: float, name: str,
+              virtual_batch_size: int = 128) -> jnp.ndarray:
+    """Ghost BatchNorm (pytorch_tabnet GBN): in training, normalize each
+    virtual batch independently through ONE shared BatchNorm — torch does
+    `x.chunk(ceil(B/vbs))` (near-equal chunk sizes) and applies the same
+    BN module sequentially, so running stats get one momentum update per
+    chunk; eval uses the running averages as usual. Chunk count is static
+    under jit (batch size is a trace constant). Must be called inside an
+    @nn.compact scope; param/stat paths are identical to a plain
+    nn.BatchNorm of the same `name`."""
+    bn = nn.BatchNorm(
+        use_running_average=not train, momentum=momentum, epsilon=1e-5,
+        name=name,
+    )
+    b = x.shape[0]
+    if not train or b <= virtual_batch_size:
+        return bn(x)
+    n_chunks = -(-b // virtual_batch_size)
+    chunks = jnp.array_split(x, n_chunks, axis=0)
+    return jnp.concatenate([bn(c) for c in chunks], axis=0)
+
+
 class _GLULayer(nn.Module):
-    """Linear(in→2·out, no bias) + BN + GLU gating."""
+    """Linear(in→2·out, no bias) + GhostBN + GLU gating."""
 
     out_dim: int
     dtype: Dtype = jnp.float32
+    virtual_batch_size: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.Dense(2 * self.out_dim, use_bias=False,
                      dtype=self.dtype, name="fc")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.98, epsilon=1e-5,
-            name="bn",
-        )(x)
+        x = _ghost_bn(
+            x, train, momentum=0.98, name="bn",
+            virtual_batch_size=self.virtual_batch_size,
+        )
         return x[..., : self.out_dim] * nn.sigmoid(x[..., self.out_dim:])
 
 
@@ -90,6 +116,7 @@ class _FeatTransformer(nn.Module):
     n_shared: int
     n_independent: int
     dtype: Dtype = jnp.float32
+    virtual_batch_size: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
@@ -102,6 +129,7 @@ class _FeatTransformer(nn.Module):
             first = False
         for i in range(self.n_independent):
             h = _GLULayer(self.out_dim, dtype=self.dtype,
+                          virtual_batch_size=self.virtual_batch_size,
                           name=f"indep_{i}")(x, train)
             x = h if first else (x + h) * scale
             first = False
@@ -124,6 +152,9 @@ class TabNetEncoder(nn.Module):
     n_shared: int = 2
     epsilon: float = 1e-15
     dtype: Dtype = jnp.float32
+    # pytorch_tabnet GBN virtual batch (multimodal.py:109-148 wraps the
+    # library defaults)
+    virtual_batch_size: int = 128
 
     @nn.compact
     def __call__(
@@ -140,12 +171,15 @@ class TabNetEncoder(nn.Module):
 
         # GLU layers whose parameters are shared by every decision step.
         shared = [
-            _GLULayer(d + a, dtype=self.dtype, name=f"shared_{i}")
+            _GLULayer(d + a, dtype=self.dtype,
+                      virtual_batch_size=self.virtual_batch_size,
+                      name=f"shared_{i}")
             for i in range(self.n_shared)
         ]
 
         att = _FeatTransformer(
             d + a, self.n_shared, self.n_independent, dtype=self.dtype,
+            virtual_batch_size=self.virtual_batch_size,
             name="initial_splitter",
         )(x, train, shared)[..., d:]
 
@@ -161,10 +195,10 @@ class TabNetEncoder(nn.Module):
                 input_dim, use_bias=False, dtype=self.dtype,
                 name=f"att_fc_{step}",
             )(att)
-            logits = nn.BatchNorm(
-                use_running_average=not train, momentum=0.98, epsilon=1e-5,
-                name=f"att_bn_{step}",
-            )(logits)
+            logits = _ghost_bn(
+                logits, train, momentum=0.98, name=f"att_bn_{step}",
+                virtual_batch_size=self.virtual_batch_size,
+            )
             mask = sparsemax(logits * prior)
             masks.append(mask)
 
@@ -175,6 +209,7 @@ class TabNetEncoder(nn.Module):
 
             out = _FeatTransformer(
                 d + a, self.n_shared, self.n_independent, dtype=self.dtype,
+                virtual_batch_size=self.virtual_batch_size,
                 name=f"feat_{step}",
             )(mask * x, train, shared)
             step_d = nn.relu(out[..., :d])

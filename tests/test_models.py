@@ -262,3 +262,75 @@ def test_load_partial_warm_start_filters():
     # head_out kept at target init (shape (64, 128) vs ckpt (64, 2))
     assert merged["params"]["head_out"]["kernel"].shape == (64, 128)
     assert any("head_out" in k for k in skipped)
+
+
+def test_ghost_batchnorm_semantics():
+    """pytorch_tabnet GBN parity: training batches over the virtual batch
+    size are normalized per near-equal chunk (torch x.chunk semantics)
+    through ONE shared BN, with sequential running-stat updates; batches
+    at/under the virtual batch equal plain BatchNorm exactly."""
+    import flax.linen as nn
+
+    from ecgmm_tpu.models.clinical import _ghost_bn
+
+    class G(nn.Module):
+        vbs: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            return _ghost_bn(x, train, momentum=0.9, name="bn",
+                             virtual_batch_size=self.vbs)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 4)) * 3 + 1, jnp.float32)
+
+    g = G(vbs=8)
+    v = g.init(jax.random.PRNGKey(0), x, train=False)
+    out, mut = g.apply(v, x, train=True, mutable=["batch_stats"])
+
+    # expected: per-chunk standardization (scale=1, bias=0 at init)
+    expect = []
+    for c in (x[:8], x[8:]):
+        mu = np.asarray(c).mean(0)
+        var = np.asarray(c).var(0)
+        expect.append((np.asarray(c) - mu) / np.sqrt(var + 1e-5))
+    np.testing.assert_allclose(
+        np.asarray(out), np.concatenate(expect), atol=1e-5
+    )
+
+    # sequential running-stat updates (flax: ra = m*ra + (1-m)*batch)
+    ra = np.zeros(4)
+    for c in (x[:8], x[8:]):
+        ra = 0.9 * ra + 0.1 * np.asarray(c).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["bn"]["mean"]), ra, atol=1e-5
+    )
+
+    # b <= vbs: exactly plain BatchNorm
+    plain = G(vbs=1000)
+    out_plain, _ = plain.apply(v, x, train=True, mutable=["batch_stats"])
+    mu, var = np.asarray(x).mean(0), np.asarray(x).var(0)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), (np.asarray(x) - mu) / np.sqrt(var + 1e-5),
+        atol=1e-5,
+    )
+
+
+def test_tabnet_ghost_bn_active_over_virtual_batch():
+    model = TabNetEncoder(out_dim=8, virtual_batch_size=16)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(48, 6)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (z, m_loss), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert z.shape == (48, 8) and np.isfinite(float(m_loss))
+    # the ghost path must actually change the result vs plain BN
+    plain = TabNetEncoder(out_dim=8, virtual_batch_size=10 ** 9)
+    (z2, _), _ = plain.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert not np.allclose(np.asarray(z), np.asarray(z2))
