@@ -95,10 +95,16 @@ def grad_cam_signal(
 def grad_cam_fusion_image(
     model, variables, images: jnp.ndarray,
     class_idx: Optional[jnp.ndarray] = None,
+    resize_to_input: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CAM through the fusion model's image branch: class score =
     image_classifier(image_norm(fc(GAP(featmap)))) differentiated w.r.t.
-    the last conv feature map. images: (B, H, W, 3) normalised."""
+    the last conv feature map. images: (B, H, W, 3) normalised.
+
+    resize_to_input=False returns the feature-map-native CAM (e.g. 7×7
+    for 224² inputs) — serving upsamples once on the host straight to the
+    original strip resolution instead of interpolating twice, and only
+    the tiny native map crosses the device link."""
     logits_emb, feats = model.apply(
         variables, images,
         method=lambda m, img: m.image_encoder(img, return_features=True),
@@ -126,9 +132,11 @@ def grad_cam_fusion_image(
 
     grads = jax.grad(score)(feats)
     cam = _cam_from_feats(feats, grads, spatial_axes=(1, 2))
-    cam = jax.image.resize(
-        cam, (cam.shape[0], images.shape[1], images.shape[2]), "bilinear"
-    )
+    if resize_to_input:
+        cam = jax.image.resize(
+            cam, (cam.shape[0], images.shape[1], images.shape[2]),
+            "bilinear",
+        )
     return cam, logits
 
 

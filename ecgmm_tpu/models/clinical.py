@@ -72,12 +72,15 @@ def _ghost_bn(x: jnp.ndarray, train: bool, momentum: float, name: str,
               virtual_batch_size: int = 128) -> jnp.ndarray:
     """Ghost BatchNorm (pytorch_tabnet GBN): in training, normalize each
     virtual batch independently through ONE shared BatchNorm — torch does
-    `x.chunk(ceil(B/vbs))` (near-equal chunk sizes) and applies the same
-    BN module sequentially, so running stats get one momentum update per
-    chunk; eval uses the running averages as usual. Chunk count is static
-    under jit (batch size is a trace constant). Must be called inside an
-    @nn.compact scope; param/stat paths are identical to a plain
-    nn.BatchNorm of the same `name`."""
+    `x.chunk(ceil(B/vbs))` and applies the same BN module sequentially, so
+    running stats get one momentum update per chunk; eval uses the running
+    averages as usual. torch.chunk splits GREEDILY (every chunk is
+    ceil(B/n) rows except a short final one — NOT numpy array_split's
+    near-equal sizes), and the boundaries matter for stat parity at
+    non-divisible batch sizes, so the greedy split is reproduced exactly.
+    Chunk count is static under jit (batch size is a trace constant).
+    Must be called inside an @nn.compact scope; param/stat paths are
+    identical to a plain nn.BatchNorm of the same `name`."""
     bn = nn.BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=1e-5,
         name=name,
@@ -86,7 +89,8 @@ def _ghost_bn(x: jnp.ndarray, train: bool, momentum: float, name: str,
     if not train or b <= virtual_batch_size:
         return bn(x)
     n_chunks = -(-b // virtual_batch_size)
-    chunks = jnp.array_split(x, n_chunks, axis=0)
+    step = -(-b // n_chunks)  # torch.chunk greedy chunk size
+    chunks = [x[i:i + step] for i in range(0, b, step)]
     return jnp.concatenate([bn(c) for c in chunks], axis=0)
 
 

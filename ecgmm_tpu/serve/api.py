@@ -44,6 +44,17 @@ from ecgmm_tpu.serve.report import rule_based_report
 ENDPOINT = "/api/public/upload-ecgImage-lead2only"
 
 
+def _sex_from_questionnaire(q: Dict) -> Optional[str]:
+    """The questionnaire form posts the radio key 'gender' ('0'=male,
+    '1'=female — QuestionnaireForm field schema); accept an explicit
+    'sex' string too. Round-2 review finding: reading only 'sex' rendered
+    '성별 None' in every report generated from the app."""
+    sex = q.get("sex")
+    if sex not in (None, ""):
+        return str(sex)
+    return {"0": "M", "1": "F"}.get(str(q.get("gender", "")))
+
+
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
     """Minimal multipart/form-data parser (stdlib cgi is deprecated)."""
     m = re.search(r'boundary="?([^";]+)"?', content_type)
@@ -135,8 +146,7 @@ class ServingPipeline:
 
             return gradient_shap(head, emb, bg, cls, n_samples=32)
 
-        @jax.jit
-        def clin_attr(img, sig, clin, cls):
+        def clinical_ig(img, sig, clin, cls):
             """Per-dimension attribution over the raw clinical INPUTS
             (age, wt) — integrated gradients of the predicted-class logit
             along the straight path from the scaled cohort mean (zeros
@@ -144,7 +154,10 @@ class ServingPipeline:
             midpoint rule, 8 steps. The app's pie chart renders age and wt
             as separate features (Groove/app/(tabs)/ResultScreen.tsx:51-56),
             so splitting the clinical-chunk SHAP 50/50 would fabricate the
-            numbers; this measures each dimension's actual pull."""
+            numbers; this measures each dimension's actual pull. ONE
+            definition, shared by the standalone jit below and
+            predict_all, so the estimator cannot drift between the tested
+            and the served path."""
 
             def f(c):
                 out = model.apply(variables, img, sig, c)
@@ -153,6 +166,8 @@ class ServingPipeline:
             alphas = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8.0
             grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
             return (clin * jnp.mean(grads, axis=0))[0]  # (n_clin,)
+
+        clin_attr = jax.jit(clinical_ig)
 
         @jax.jit
         def predict_all(img, sig, clin):
@@ -173,8 +188,10 @@ class ServingPipeline:
             )
             probs = jax.nn.softmax(logits, -1)
             pred = jnp.argmax(probs[0])
+            # feature-map-native CAM (7×7): the host upsamples ONCE to the
+            # original strip, and only the tiny map crosses the relay
             cam, _ = grad_cam_fusion_image(
-                model, variables, img, pred[None]
+                model, variables, img, pred[None], resize_to_input=False
             )
             attr = gradient_shap(
                 lambda e: model.apply(
@@ -183,14 +200,7 @@ class ServingPipeline:
                 ),
                 emb, bg, pred, n_samples=32,
             )
-
-            def f(c):
-                out = model.apply(variables, img, sig, c)
-                return out.fusion_logits[0, pred]
-
-            alphas = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8.0
-            grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
-            ca = (clin * jnp.mean(grads, axis=0))[0]
+            ca = clinical_ig(img, sig, clin, pred)
             return probs, pred, cam, attr, ca
 
         self._forward = forward
@@ -370,7 +380,7 @@ class ServingPipeline:
         # in serve/report.py is used when the openai package is present)
         gpt_result = rule_based_report(
             mv, abnormal=(pred == 1), probability=float(probs[pred]),
-            age=age, sex=questionnaire.get("sex"),
+            age=age, sex=_sex_from_questionnaire(questionnaire),
         )
 
         return {

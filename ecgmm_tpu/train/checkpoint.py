@@ -56,8 +56,9 @@ class CheckpointManager:
         for fut in pending:
             fut.result()
 
-    def _write(self, name: str, host_state: Any) -> None:
-        self._ckptr.save(self._path(name), host_state, force=True)
+    def _write(self, name: str, host_state: Any,
+               overwrite: bool = True) -> None:
+        self._ckptr.save(self._path(name), host_state, force=overwrite)
         self._ckptr.wait_until_finished()
 
     # -- public API --------------------------------------------------------
@@ -68,10 +69,10 @@ class CheckpointManager:
         # or overwrite the device buffers freely.
         host_state = jax.device_get(state)
         if self.async_saves and not block:
-            self._submit(self._write, name, host_state)
+            self._submit(self._write, name, host_state, overwrite)
         else:
             self.wait_until_finished()
-            self._write(name, host_state)
+            self._write(name, host_state, overwrite)
 
     def save_epoch(self, epoch: int, state: Any):
         """epochN checkpoint with a retention window (the reference keeps

@@ -453,6 +453,7 @@ def fit(
 
         if val_streamed and val_arrays.n > 0:
             losses_l, logits_l, labels_l = [], [], []
+            extra_l: Dict[str, List[float]] = {}
             for batch in prefetch_batches(
                 val_arrays, cfg.eval_bs, shuffle=False, seed=0, epoch=0,
                 mesh=mesh,
@@ -462,6 +463,9 @@ def fit(
                 losses_l.append(float(out["loss"]))
                 logits_l.append(np.asarray(out["logits"])[keep])
                 labels_l.append(np.asarray(batch.labels)[keep])
+                for k, v in out["mets"].items():
+                    if np.ndim(v) == 0:  # scalars (e.g. var_loss)
+                        extra_l.setdefault(k, []).append(float(v))
             flat_logits = np.concatenate(logits_l)
             flat_labels = np.concatenate(labels_l)
             val = EvalResult(
@@ -471,7 +475,9 @@ def fit(
                 ),
                 logits=flat_logits,
                 labels=flat_labels,
-                metrics={},
+                metrics={
+                    k: float(np.mean(v)) for k, v in extra_l.items()
+                },
             )
         elif val_arrays.n > 0:
             vlosses, vlogits, vlabels, vmets = eval_epoch(state, vidx, vmask)

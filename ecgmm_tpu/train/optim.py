@@ -67,9 +67,15 @@ def scale_lr(opt_state, factor: float):
         hp = dict(hp)
         hp["learning_rate"] = hp["learning_rate"] * factor
         return opt_state._replace(hyperparams=hp)
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
-        return tuple(
+    if isinstance(opt_state, tuple):
+        # recurse into BOTH plain chain tuples and namedtuple wrapper
+        # states (optax.masked, MultiSteps, …) — get_lr descends into
+        # them, so scale_lr must too or decay becomes a silent no-op
+        new = [
             scale_lr(s, factor) if isinstance(s, tuple) else s
             for s in opt_state
-        )
+        ]
+        if hasattr(opt_state, "_fields"):
+            return type(opt_state)(*new)
+        return tuple(new)
     return opt_state

@@ -17,6 +17,7 @@ import {
 } from 'react-native'
 import QuestionnaireForm, { FormData } from '../components/QuestionnaireForm'
 import { analyzeEcg, PickedImage } from '../lib/api'
+import { setResult } from '../lib/resultStore'
 
 export default function UploadScreen() {
   const router = useRouter()
@@ -49,11 +50,10 @@ export default function UploadScreen() {
     setBusy(true)
     setMessage('')
     try {
-      const result = await analyzeEcg(image, form)
-      router.push({
-        pathname: '/result',
-        params: { result: JSON.stringify(result) },
-      })
+      // hand off via the in-memory store — the multi-MB heatmap must not
+      // travel through router params (URL/navigation-state limits)
+      setResult(await analyzeEcg(image, form))
+      router.push('/result')
     } catch (err) {
       setMessage('서버 오류가 발생했습니다. 서버 주소를 확인해주세요.')
       console.error(err)

@@ -4,7 +4,6 @@
  * and the five-section clinical report — the response contract of
  * ecgmm_tpu/serve/api.py.
  */
-import { useLocalSearchParams } from 'expo-router'
 import React, { useMemo, useState } from 'react'
 import {
   Dimensions,
@@ -16,12 +15,12 @@ import {
 } from 'react-native'
 import { EcgChart, ImportancePie } from '../components/Charts'
 import type { AnalysisResult } from '../lib/api'
+import { getResult } from '../lib/resultStore'
 
 export default function ResultScreen() {
-  const { result } = useLocalSearchParams<{ result: string }>()
   const data = useMemo(
-    () => JSON.parse(result ?? '{}') as AnalysisResult,
-    [result],
+    () => getResult() ?? ({} as AnalysisResult),
+    [],
   )
   const [showHeatmap, setShowHeatmap] = useState(false)
   const screenWidth = Dimensions.get('window').width

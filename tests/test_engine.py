@@ -226,7 +226,7 @@ def test_async_checkpoint_saves_overlap(tmp_path, monkeypatch):
     ckpt = CheckpointManager(str(tmp_path / "ckpt"))
     writes = []
 
-    def slow_write(name, host_state):
+    def slow_write(name, host_state, overwrite=True):
         _time.sleep(0.5)
         writes.append(name)
 
@@ -245,7 +245,7 @@ def test_async_checkpoint_saves_overlap(tmp_path, monkeypatch):
     assert writes == ["last", "last"]
 
     # writer errors surface on drain, not silently
-    def bad_write(name, host_state):
+    def bad_write(name, host_state, overwrite=True):
         raise IOError("disk full")
 
     monkeypatch.setattr(ckpt, "_write", bad_write)
@@ -287,3 +287,22 @@ def test_weight_decay_keeps_plateau_lr_working(small_data, mesh8):
         mesh=mesh8, verbose=False,
     )
     assert "LR" in result.history[0]
+
+
+def test_scale_lr_through_masked_wrapper():
+    """scale_lr must traverse namedtuple wrapper states (optax.masked,
+    MultiSteps) symmetrically with get_lr — otherwise fit() believes
+    plateau decay applied while the state came back unchanged."""
+    import optax
+
+    params = {"a": jnp.zeros(3), "b": jnp.zeros(2)}
+    tx = optax.masked(
+        optax.inject_hyperparams(optax.adam)(learning_rate=1e-3),
+        {"a": True, "b": False},
+    )
+    state = tx.init(params)
+    assert optim_lib.get_lr(state) == pytest.approx(1e-3)
+    scaled = optim_lib.scale_lr(state, 0.1)
+    assert optim_lib.get_lr(scaled) == pytest.approx(1e-4)
+    # the wrapper type survives the rebuild
+    assert type(scaled) is type(state)

@@ -334,3 +334,32 @@ def test_tabnet_ghost_bn_active_over_virtual_batch():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_ghost_batchnorm_torch_chunk_boundaries():
+    """torch.chunk splits greedily (ceil-size chunks, short tail), NOT
+    numpy-array_split near-equal: B=13, vbs=4 must normalize as chunks
+    [4, 4, 4, 1] for pytorch_tabnet stat parity at non-divisible sizes."""
+    import flax.linen as nn
+
+    from ecgmm_tpu.models.clinical import _ghost_bn
+
+    class G(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return _ghost_bn(x, train, momentum=0.9, name="bn",
+                             virtual_batch_size=4)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(13, 3)) * 2 + 0.5, jnp.float32)
+    g = G()
+    v = g.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = g.apply(v, x, train=True, mutable=["batch_stats"])
+
+    expect = []
+    for lo, hi in ((0, 4), (4, 8), (8, 12), (12, 13)):
+        c = np.asarray(x[lo:hi])
+        expect.append((c - c.mean(0)) / np.sqrt(c.var(0) + 1e-5))
+    np.testing.assert_allclose(
+        np.asarray(out), np.concatenate(expect), atol=2e-5
+    )

@@ -183,3 +183,14 @@ def test_feature_importance_age_wt_not_tied(server):
         fi = json.loads(resp.read())["feature_importance"]
     assert fi["age"] != fi["wt"]
     assert fi["age"] >= 0.0 and fi["wt"] >= 0.0
+
+
+def test_sex_from_questionnaire_gender_mapping():
+    """The app posts the radio key 'gender' ('0' male / '1' female); the
+    report layer must receive a sex, not None (round-2 review finding)."""
+    from ecgmm_tpu.serve.api import _sex_from_questionnaire
+
+    assert _sex_from_questionnaire({"gender": "0"}) == "M"
+    assert _sex_from_questionnaire({"gender": "1"}) == "F"
+    assert _sex_from_questionnaire({"sex": "F", "gender": "0"}) == "F"
+    assert _sex_from_questionnaire({}) is None
