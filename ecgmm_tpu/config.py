@@ -138,6 +138,11 @@ class TrainConfig:
     k_outer: int = 5
     k_inner: int = 3
     donate_state: bool = True
+    # Fusion-only fast path: precompute the frozen encoders' embeddings
+    # once per split and train just the fusion surface over them (the
+    # encoders run in eval mode — see PARITY.md "Cached-embedding fusion
+    # training" and train/embed.py). Requires freeze_encoders.
+    cache_embeddings: bool = False
 
     @property
     def eval_bs(self) -> int:

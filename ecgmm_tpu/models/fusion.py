@@ -166,6 +166,52 @@ class ECGMultimodalModel(nn.Module):
         x = self.fusion_dropout(x, deterministic=not train)
         return self.fusion_out(x.astype(jnp.float32))
 
+    def encode_raw(self, image, signal, clinical):
+        """Raw (pre-LayerNorm) encoder outputs, eval mode.
+
+        The frozen-encoder boundary: the reference freezes exactly
+        image_encoder/signal_encoder/clinical_encoder (train.py:35-40),
+        so everything downstream of these outputs — the per-branch
+        LayerNorms, branch classifiers, attention fusion and fusion head —
+        is the trainable surface. `from_embeddings` consumes these, which
+        lets fusion training precompute them ONCE instead of re-running
+        ~95% of the step's FLOPs on frozen weights every batch
+        (TrainConfig.cache_embeddings)."""
+        if signal.ndim == 2:
+            signal = signal[..., None]
+        img_raw = self.image_encoder(image, train=False).astype(jnp.float32)
+        sig_raw = self.signal_encoder(signal, train=False).astype(jnp.float32)
+        clin = self.clinical_encoder(clinical, train=False)
+        if isinstance(clin, tuple):
+            clin = clin[0]
+        return img_raw, sig_raw, clin.astype(jnp.float32)
+
+    def from_embeddings(self, img_raw, sig_raw, clin_raw,
+                        train: bool = False) -> FusionOutput:
+        """The full trainable forward over precomputed `encode_raw`
+        outputs: identical FusionOutput semantics to `__call__` (m_loss is
+        0 — the reference fusion loss never uses it, train.py:78)."""
+        img_feat = self.image_norm(img_raw.astype(jnp.float32))
+        sig_feat = self.signal_norm(sig_raw.astype(jnp.float32))
+        clin_feat = self.clinical_norm(clin_raw.astype(jnp.float32))
+        image_logits = self.image_classifier(img_feat)
+        signal_logits = self.signal_classifier(sig_feat)
+        clinical_logits = self.clinical_classifier(clin_feat)
+        fused, soft_weights = self.attention_fusion(
+            img_feat, sig_feat, clin_feat
+        )
+        fusion_logits = self.head(fused, train=train)
+        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat)
+        return FusionOutput(
+            image_logits=image_logits,
+            signal_logits=signal_logits,
+            clinical_logits=clinical_logits,
+            fusion_logits=fusion_logits,
+            var_loss=var_loss,
+            soft_weights=soft_weights,
+            m_loss=jnp.float32(0.0),
+        )
+
     def fuse_embeddings(self, img_feat, sig_feat, clin_feat):
         """Fusion logits from precomputed per-modality embeddings — the
         callable SHAP/LIME differentiate through (reference

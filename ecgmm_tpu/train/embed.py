@@ -1,0 +1,117 @@
+"""Frozen-encoder embedding precomputation (cached fusion training).
+
+The reference's fusion trainer freezes all three modality encoders and
+optimizes only the fusion surface (`/root/reference/train.py:35-43`), yet
+re-runs the frozen encoders — ~95% of the step's FLOPs, dominated by the
+224×224 ResNet18 forward — on every batch of every epoch. With
+`TrainConfig.cache_embeddings`, the engine instead computes each split's
+raw encoder outputs ONCE (one jitted lax.scan dispatch per split) and
+trains the fusion head over the cached 512/128/32-dim embeddings; epochs
+then cost head-only FLOPs (~40× less).
+
+Deviation (PARITY.md "Cached-embedding fusion training"): the cached
+encoders run in EVAL mode — inference BatchNorm statistics, no dropout in
+the frozen signal-encoder head — whereas the reference calls model.train()
+so its frozen encoders still use batch-composition-dependent BN stats and
+live dropout. Off by default; the uncached path is the parity path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecgmm_tpu.data.pipeline import Arrays, normalize_images
+from ecgmm_tpu.train.engine import epoch_indices
+from ecgmm_tpu.train.state import TrainState
+
+
+def precompute_fusion_embeddings(
+    model, state: TrainState, arrays: Arrays, batch_size: int, mesh=None,
+) -> Arrays:
+    """Run `model.encode_raw` over a split in ONE jitted scan dispatch.
+
+    Returns an Arrays whose images/signals/clinical slots hold the raw
+    (pre-LayerNorm) image/signal/clinical embeddings, consumable by
+    workloads.tasks.make_fusion_head_task via the unchanged engine."""
+    from ecgmm_tpu.data.pipeline import HostArrays, prefetch_batches
+    from ecgmm_tpu.parallel import batch_sharding
+    from ecgmm_tpu.workloads.tasks import _compute_dtype
+
+    n = arrays.n
+    if n == 0:
+        return Arrays(
+            images=jnp.zeros((0, 1), jnp.float32),
+            signals=jnp.zeros((0, 1), jnp.float32),
+            clinical=jnp.zeros((0, 1), jnp.float32),
+            labels=jnp.asarray(arrays.labels, jnp.int32),
+            indices=arrays.indices,
+        )
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    dtype = _compute_dtype(model)
+    method = type(model).encode_raw
+    variables = {"params": state.params, **state.model_state}
+
+    if isinstance(arrays, HostArrays):
+        # Over-HBM split: stream batches through a per-batch jitted encode
+        # (double-buffered host→device prefetch); the resulting embeddings
+        # are ~3 orders of magnitude smaller and come back device-resident.
+        @jax.jit
+        def encode_batch(variables, images, signals, clinical):
+            return model.apply(
+                variables, normalize_images(images, dtype),
+                signals, clinical, method=method,
+            )
+
+        outs = [
+            encode_batch(variables, b.images, b.signals, b.clinical)
+            for b in prefetch_batches(
+                arrays, batch_size, shuffle=False, seed=0, mesh=mesh
+            )
+        ]
+        img_e, sig_e, cli_e = (
+            jnp.concatenate([o[i] for o in outs])[:n] for i in range(3)
+        )
+        return Arrays(
+            images=img_e, signals=sig_e, clinical=cli_e,
+            labels=jnp.asarray(arrays.labels, jnp.int32),
+            indices=np.asarray(arrays.indices),
+        )
+
+    idx_mat, _ = epoch_indices(n, batch_size, shuffle=False, seed=0, epoch=0)
+
+    def encode_split(variables, images, signals, clinical, idx_mat):
+        def body(_, idx):
+            def take(a):
+                out = jnp.take(a, idx, axis=0)
+                if sharding is not None:
+                    out = jax.lax.with_sharding_constraint(out, sharding)
+                return out
+
+            img, sig, cli = model.apply(
+                variables,
+                normalize_images(take(images), dtype),
+                take(signals), take(clinical),
+                method=method,
+            )
+            return None, (img, sig, cli)
+
+        _, outs = jax.lax.scan(body, None, idx_mat)
+        return outs
+
+    img_e, sig_e, cli_e = jax.jit(encode_split)(
+        variables, arrays.images, arrays.signals, arrays.clinical,
+        jnp.asarray(idx_mat),
+    )
+
+    def flat(x):
+        return x.reshape(-1, x.shape[-1])[:n]
+
+    return Arrays(
+        images=flat(img_e),
+        signals=flat(sig_e),
+        clinical=flat(cli_e),
+        labels=arrays.labels,
+        indices=np.asarray(arrays.indices),
+    )

@@ -293,6 +293,30 @@ def run(cfg: Config, data: pipeline.MaterializedData,
             val=pipeline.fit_in_budget(data.val, budget),
         )
 
+    # Cached-embedding fusion fast path: precompute the frozen encoders'
+    # outputs once per split (one scan dispatch each) and train/evaluate
+    # the fusion surface over them (train/embed.py; PARITY.md row).
+    if (
+        t.cache_embeddings and cfg.name.startswith("fusion")
+        and t.freeze_encoders
+    ):
+        from ecgmm_tpu.train.embed import precompute_fusion_embeddings
+        from ecgmm_tpu.workloads.tasks import make_fusion_head_task
+
+        data = dataclasses.replace(
+            data,
+            train=precompute_fusion_embeddings(
+                model, state, data.train, t.eval_bs, mesh
+            ),
+            val=precompute_fusion_embeddings(
+                model, state, data.val, t.eval_bs, mesh
+            ),
+            test=precompute_fusion_embeddings(
+                model, state, data.test, t.eval_bs, mesh
+            ),
+        )
+        task = make_fusion_head_task(model, t)
+
     weights = None
     if cfg.name == "ptbxl_af":
         lab = np.asarray(data.train.labels)
@@ -337,6 +361,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n-synth", type=int, default=128)
+    p.add_argument("--cache-embeddings", action="store_true",
+                   help="fusion presets: precompute frozen-encoder "
+                        "embeddings once and train only the fusion "
+                        "surface (eval-mode encoders — see PARITY.md)")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="continue from --run-dir's last checkpoint")
@@ -350,6 +378,8 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.lr is not None:
         overrides["lr"] = args.lr
+    if args.cache_embeddings:
+        overrides["cache_embeddings"] = True
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides)

@@ -137,16 +137,7 @@ def make_spectrogram_task(model, cfg: TrainConfig) -> Task:
     )
 
 
-def make_fusion_task(model, cfg: TrainConfig) -> Task:
-    dtype = _compute_dtype(model)
-
-    def inputs(batch: Batch):
-        return (
-            normalize_images(batch.images, dtype),
-            batch.signals,
-            batch.clinical,
-        )
-
+def _fusion_loss(cfg: TrainConfig):
     def loss(outputs: FusionOutput, batch: Batch):
         total = losses.fusion_loss(
             outputs.fusion_logits, batch.labels, outputs.var_loss,
@@ -170,8 +161,47 @@ def make_fusion_task(model, cfg: TrainConfig) -> Task:
             "soft_weights": outputs.soft_weights,
         }
 
+    return loss
+
+
+def make_fusion_task(model, cfg: TrainConfig) -> Task:
+    dtype = _compute_dtype(model)
+
+    def inputs(batch: Batch):
+        return (
+            normalize_images(batch.images, dtype),
+            batch.signals,
+            batch.clinical,
+        )
+
     return Task(
         apply=_make_apply(model, inputs),
-        loss=loss,
+        loss=_fusion_loss(cfg),
+        logits=lambda outputs: outputs.fusion_logits,
+    )
+
+
+def make_fusion_head_task(model, cfg: TrainConfig) -> Task:
+    """Fusion training over PRECOMPUTED frozen-encoder embeddings
+    (TrainConfig.cache_embeddings): the Batch's images/signals/clinical
+    slots carry the raw `encode_raw` outputs, and the forward is just the
+    trainable surface (LayerNorms, branch classifiers, attention fusion,
+    head) via `ECGMultimodalModel.from_embeddings`. Same loss/logits
+    contract as make_fusion_task."""
+    method = type(model).from_embeddings
+
+    def apply(variables, batch: Batch, train: bool, rngs):
+        outputs = model.apply(
+            variables, batch.images, batch.signals, batch.clinical,
+            train=train, rngs=rngs if train else None, method=method,
+        )
+        # no BatchNorm in the trainable surface — model_state passes through
+        return outputs, {
+            k: v for k, v in variables.items() if k != "params"
+        }
+
+    return Task(
+        apply=apply,
+        loss=_fusion_loss(cfg),
         logits=lambda outputs: outputs.fusion_logits,
     )

@@ -1,0 +1,183 @@
+"""Cached-embedding fusion training (TrainConfig.cache_embeddings):
+
+  * from_embeddings(encode_raw(x)) reproduces __call__(x, train=False)
+    exactly (same FusionOutput, m_loss aside);
+  * a fit() over precomputed embeddings is numerically identical to a
+    fit() that runs the eval-mode encoders inside every step (the cached
+    path's defining semantics — PARITY.md "Cached-embedding fusion
+    training");
+  * the streamed (HostArrays) precompute path matches the resident one;
+  * the end-to-end runner works with cache_embeddings on.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ecgmm_tpu.config import Config, ModelConfig, TrainConfig
+from ecgmm_tpu.data import pipeline, synthetic
+from ecgmm_tpu.models import ECGMultimodalModel
+from ecgmm_tpu.models.fusion import ECGMultimodalModel as _Model
+from ecgmm_tpu.train import engine, optim as optim_lib
+from ecgmm_tpu.train.embed import precompute_fusion_embeddings
+from ecgmm_tpu.train.state import create_state, encoder_freeze_predicate
+from ecgmm_tpu.workloads.tasks import (
+    make_fusion_head_task,
+    make_fusion_task,
+)
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    cohort = synthetic.make_cohort(n=64, signal_len=512, img_hw=(32, 64))
+    return pipeline.materialize_trimodal(cohort, Config())
+
+
+@pytest.fixture(scope="module")
+def setup(small_data):
+    cfg = TrainConfig(batch_size=16, num_epochs=2, lr=1e-3, patience=10)
+    model = ECGMultimodalModel(cfg=ModelConfig(dtype="float32"))
+    tx = optim_lib.make_optimizer(cfg)
+    b = small_data.train
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1,) + b.images.shape[1:], jnp.float32),
+        jnp.ones((1, b.signals.shape[1])),
+        jnp.ones((1, 2)),
+    )
+    state = create_state(
+        variables, tx, jax.random.PRNGKey(0),
+        freeze_predicate=encoder_freeze_predicate,
+    )
+    return cfg, model, tx, state, variables
+
+
+def test_from_embeddings_matches_direct_forward(small_data, setup):
+    cfg, model, tx, state, variables = setup
+    b = small_data.test
+    images = pipeline.normalize_images(b.images[:8])
+    signals, clinical = b.signals[:8], b.clinical[:8]
+    direct = model.apply(variables, images, signals, clinical, train=False)
+    img_r, sig_r, cli_r = model.apply(
+        variables, images, signals, clinical, method=_Model.encode_raw
+    )
+    cached = model.apply(
+        variables, img_r, sig_r, cli_r, method=_Model.from_embeddings
+    )
+    for field in (
+        "image_logits", "signal_logits", "clinical_logits",
+        "fusion_logits", "var_loss", "soft_weights",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(cached, field)),
+            np.asarray(getattr(direct, field)),
+            rtol=1e-6, atol=1e-6, err_msg=field,
+        )
+
+
+def _eval_encoder_fusion_task(model, cfg):
+    """The cached path's semantics WITHOUT the cache: eval-mode encoders
+    re-run inside every step, trainable surface in train mode."""
+    from ecgmm_tpu.train.engine import Task
+
+    def method(mdl, image, signal, clinical, train):
+        img_r, sig_r, cli_r = mdl.encode_raw(image, signal, clinical)
+        return mdl.from_embeddings(img_r, sig_r, cli_r, train=train)
+
+    def apply(variables, batch, train, rngs):
+        outputs = model.apply(
+            variables, pipeline.normalize_images(batch.images),
+            batch.signals, batch.clinical, train=train,
+            rngs=rngs if train else None, method=method,
+        )
+        return outputs, {k: v for k, v in variables.items() if k != "params"}
+
+    ref = make_fusion_head_task(model, cfg)
+    return Task(apply=apply, loss=ref.loss, logits=ref.logits)
+
+
+def test_cached_fit_identical_to_eval_encoder_fit(small_data, setup, mesh8):
+    cfg, model, tx, state, variables = setup
+
+    cached = dataclasses.replace(
+        small_data,
+        train=precompute_fusion_embeddings(
+            model, state, small_data.train, cfg.eval_bs, mesh8
+        ),
+        val=precompute_fusion_embeddings(
+            model, state, small_data.val, cfg.eval_bs, mesh8
+        ),
+    )
+    assert cached.train.images.shape == (small_data.train.n, 512)
+    assert cached.train.signals.shape == (small_data.train.n, 128)
+    assert cached.train.clinical.shape == (small_data.train.n, 32)
+
+    run_cfg = dataclasses.replace(cfg, donate_state=False)
+    r_cached = engine.fit(
+        make_fusion_head_task(model, run_cfg), state, tx,
+        cached.train, cached.val, run_cfg, mesh=mesh8, verbose=False,
+    )
+    r_direct = engine.fit(
+        _eval_encoder_fusion_task(model, run_cfg), state, tx,
+        small_data.train, small_data.val, run_cfg, mesh=mesh8,
+        verbose=False,
+    )
+    for hc, hd in zip(r_cached.history, r_direct.history):
+        assert np.isclose(hc["Loss/Train"], hd["Loss/Train"], rtol=1e-5)
+        assert np.isclose(hc["Loss/Val"], hd["Loss/Val"], rtol=1e-5)
+    leaves_c = jax.tree_util.tree_leaves(r_cached.state.trainable)
+    leaves_d = jax.tree_util.tree_leaves(r_direct.state.trainable)
+    for lc, ld in zip(leaves_c, leaves_d):
+        np.testing.assert_allclose(
+            np.asarray(lc), np.asarray(ld), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_streamed_precompute_matches_resident(small_data, setup, mesh8):
+    cfg, model, tx, state, variables = setup
+    resident = precompute_fusion_embeddings(
+        model, state, small_data.val, cfg.eval_bs, mesh8
+    )
+    streamed = precompute_fusion_embeddings(
+        model, state, pipeline.to_host_resident(small_data.val),
+        cfg.eval_bs, mesh8,
+    )
+    for f in ("images", "signals", "clinical"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(streamed, f)),
+            np.asarray(getattr(resident, f)), rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_runner_with_cache_embeddings(tmp_path, monkeypatch):
+    from ecgmm_tpu.workloads import run as run_mod
+
+    monkeypatch.setattr(
+        "ecgmm_tpu.utils.cache.enable_compilation_cache", lambda: None
+    )
+    cfg = run_mod.get_preset("fusion")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, img_height=32, img_width=64, signal_len=512
+        ),
+        train=dataclasses.replace(
+            cfg.train, num_epochs=2, batch_size=16, cache_embeddings=True,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            log_dir=str(tmp_path / "runs"),
+            output_dir=str(tmp_path / "out"),
+        ),
+        model=dataclasses.replace(cfg.model, dtype="float32"),
+    )
+    data = run_mod.load_data(cfg, "synthetic", 64)
+    result, results = run_mod.run(
+        cfg, data, run_dir=str(tmp_path / "run"), verbose=False
+    )
+    assert len(result.history) == 2
+    assert set(results) == {"best", "last"}
+    for r in results.values():
+        assert 0.0 <= r["accuracy"] <= 1.0
