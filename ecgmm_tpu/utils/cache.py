@@ -29,6 +29,28 @@ from typing import Any, Callable
 _active_cache_dir: str | None = None
 
 
+def _host_fingerprint() -> str:
+    """Host CPU identity. XLA:CPU AOT executables are compiled for the
+    build host's exact feature set (avx512*, amx-*, …); replaying one on a
+    host with fewer features risks SIGILL — which no in-process recovery
+    can catch. Folding the arch + /proc/cpuinfo flag set into the cache
+    key sends each host shape to its own directory instead."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{digest}"
+
+
 def _toolchain_fingerprint() -> str:
     """Client toolchain identity, computed WITHOUT initialising a backend."""
     import importlib.metadata
@@ -41,6 +63,7 @@ def _toolchain_fingerprint() -> str:
             parts.append(f"{dist}{importlib.metadata.version(dist)}")
         except importlib.metadata.PackageNotFoundError:
             pass
+    parts.append(_host_fingerprint())
     return "-".join(parts).replace("/", "_")
 
 

@@ -18,6 +18,16 @@ def test_cache_dir_is_fingerprinted(tmp_path):
         cache.disable_compilation_cache()
 
 
+def test_fingerprint_includes_host_identity(monkeypatch):
+    """XLA:CPU AOT executables are host-feature-specific (replaying one on
+    a lesser host can SIGILL, which no in-process recovery catches): the
+    cache key must separate hosts with different CPU feature sets."""
+    fp1 = cache._toolchain_fingerprint()
+    assert cache._host_fingerprint() in fp1
+    monkeypatch.setattr(cache, "_host_fingerprint", lambda: "otherhost-ff")
+    assert cache._toolchain_fingerprint() != fp1
+
+
 def test_fingerprint_tracks_toolchain(monkeypatch, tmp_path):
     d1 = cache.enable_compilation_cache(str(tmp_path))
     monkeypatch.setattr(
