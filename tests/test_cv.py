@@ -60,3 +60,28 @@ def test_cross_dataset_eval_with_shipped_ckpt():
     )
     assert set(out) == {"accuracy", "f1", "auroc"}
     assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_nested_cv_fusion_cached_embeddings(mesh8):
+    """CV with the cached-embedding fusion fast path: per-fold precompute
+    (scalers are refit per fold), head-only fits, finite mean AUC."""
+    cohort = synthetic.make_cohort(
+        n=48, signal_len=256, img_hw=(16, 32), n_clinical=2
+    )
+    cfg = Config(
+        name="fusion",
+        train=TrainConfig(
+            batch_size=16, num_epochs=1, lr=1e-3, k_outer=2, k_inner=2,
+            cache_embeddings=True,
+        ),
+        model=ModelConfig(dtype="float32"),
+        data=dataclasses.replace(
+            Config().data, img_height=16, img_width=32, signal_len=256
+        ),
+    )
+    out = cv.nested_cv(
+        build_model_and_task, cohort, cfg, mesh=mesh8,
+        apply_filter=False, verbose=False,
+    )
+    assert len(out["outer_aucs"]) == 2
+    assert np.isfinite(out["mean_auc"])
