@@ -79,23 +79,17 @@ def _fold_auc(
         variables, tx, jax.random.PRNGKey(cfg.train.seed),
         freeze_predicate=freeze,
     )
-    if cfg.train.cache_embeddings and freeze is not None:
-        # The fusion fast path pays off most here: every fold re-runs the
-        # frozen encoders for a full early-stop loop (90 fits in the
-        # exhaustive harness) — precompute each fold's embeddings once
-        # instead (per-fold, since the refit scalers change the inputs).
-        from ecgmm_tpu.models.fusion import ECGMultimodalModel
-        from ecgmm_tpu.train.embed import precompute_fusion_embeddings
-        from ecgmm_tpu.workloads.tasks import make_fusion_head_task
+    # The fusion fast path pays off most here: every fold re-runs the
+    # frozen encoders for a full early-stop loop (90 fits in the
+    # exhaustive harness) — precompute each fold's embeddings once
+    # instead (per-fold, since the refit scalers change the inputs).
+    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
 
-        if isinstance(model, ECGMultimodalModel):
-            arrays = {
-                name: precompute_fusion_embeddings(
-                    model, state, a, cfg.train.eval_bs, mesh
-                )
-                for name, a in arrays.items()
-            }
-            task = make_fusion_head_task(model, cfg.train)
+    arrays, head_task = maybe_cache_fusion_embeddings(
+        model, state, arrays, cfg.train, mesh, frozen=freeze is not None,
+    )
+    if head_task is not None:
+        task = head_task
     result = engine.fit(
         task, state, tx, arrays["train"], arrays["val"], cfg.train,
         mesh=mesh, verbose=False,

@@ -18,6 +18,9 @@ live dropout. Off by default; the uncached path is the parity path.
 
 from __future__ import annotations
 
+import warnings
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +28,41 @@ import numpy as np
 from ecgmm_tpu.data.pipeline import Arrays, normalize_images
 from ecgmm_tpu.train.engine import epoch_indices
 from ecgmm_tpu.train.state import TrainState
+
+
+# The encode programs are module-level jits with the model (a hashable
+# frozen Flax dataclass), dtype and sharding as static args, so the
+# compiled executable is shared across splits / CV folds / repeated
+# calls with matching shapes — per-fold re-tracing would otherwise pay
+# the 30–250 s remote compile repeatedly on the relayed TPU.
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _encode_batch(model, variables, images, signals, clinical, dtype):
+    return model.apply(
+        variables, normalize_images(images, dtype), signals, clinical,
+        method=type(model).encode_raw,
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "dtype", "sharding"))
+def _encode_split(model, variables, images, signals, clinical, idx_mat,
+                  dtype, sharding):
+    def body(_, idx):
+        def take(a):
+            out = jnp.take(a, idx, axis=0)
+            if sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, sharding)
+            return out
+
+        img, sig, cli = model.apply(
+            variables,
+            normalize_images(take(images), dtype),
+            take(signals), take(clinical),
+            method=type(model).encode_raw,
+        )
+        return None, (img, sig, cli)
+
+    _, outs = jax.lax.scan(body, None, idx_mat)
+    return outs
 
 
 def precompute_fusion_embeddings(
@@ -41,31 +79,29 @@ def precompute_fusion_embeddings(
 
     n = arrays.n
     if n == 0:
+        # Keep the real branch dims so downstream from_embeddings /
+        # concatenation consumers see consistent shapes even on empty
+        # splits (an all-zeros (0, 1) placeholder would be a latent
+        # LayerNorm shape mismatch far from the cause).
+        c = model.cfg
         return Arrays(
-            images=jnp.zeros((0, 1), jnp.float32),
-            signals=jnp.zeros((0, 1), jnp.float32),
-            clinical=jnp.zeros((0, 1), jnp.float32),
+            images=jnp.zeros((0, c.image_dim), jnp.float32),
+            signals=jnp.zeros((0, c.signal_dim), jnp.float32),
+            clinical=jnp.zeros((0, c.clinical_dim), jnp.float32),
             labels=jnp.asarray(arrays.labels, jnp.int32),
             indices=arrays.indices,
         )
     sharding = batch_sharding(mesh) if mesh is not None else None
     dtype = _compute_dtype(model)
-    method = type(model).encode_raw
     variables = {"params": state.params, **state.model_state}
 
     if isinstance(arrays, HostArrays):
         # Over-HBM split: stream batches through a per-batch jitted encode
         # (double-buffered host→device prefetch); the resulting embeddings
         # are ~3 orders of magnitude smaller and come back device-resident.
-        @jax.jit
-        def encode_batch(variables, images, signals, clinical):
-            return model.apply(
-                variables, normalize_images(images, dtype),
-                signals, clinical, method=method,
-            )
-
         outs = [
-            encode_batch(variables, b.images, b.signals, b.clinical)
+            _encode_batch(model, variables, b.images, b.signals,
+                          b.clinical, dtype)
             for b in prefetch_batches(
                 arrays, batch_size, shuffle=False, seed=0, mesh=mesh
             )
@@ -80,29 +116,9 @@ def precompute_fusion_embeddings(
         )
 
     idx_mat, _ = epoch_indices(n, batch_size, shuffle=False, seed=0, epoch=0)
-
-    def encode_split(variables, images, signals, clinical, idx_mat):
-        def body(_, idx):
-            def take(a):
-                out = jnp.take(a, idx, axis=0)
-                if sharding is not None:
-                    out = jax.lax.with_sharding_constraint(out, sharding)
-                return out
-
-            img, sig, cli = model.apply(
-                variables,
-                normalize_images(take(images), dtype),
-                take(signals), take(clinical),
-                method=method,
-            )
-            return None, (img, sig, cli)
-
-        _, outs = jax.lax.scan(body, None, idx_mat)
-        return outs
-
-    img_e, sig_e, cli_e = jax.jit(encode_split)(
-        variables, arrays.images, arrays.signals, arrays.clinical,
-        jnp.asarray(idx_mat),
+    img_e, sig_e, cli_e = _encode_split(
+        model, variables, arrays.images, arrays.signals, arrays.clinical,
+        jnp.asarray(idx_mat), dtype, sharding,
     )
 
     def flat(x):
@@ -115,3 +131,40 @@ def precompute_fusion_embeddings(
         labels=arrays.labels,
         indices=np.asarray(arrays.indices),
     )
+
+
+def maybe_cache_fusion_embeddings(
+    model, state: TrainState, splits: dict, train_cfg, mesh=None,
+    frozen: bool = True,
+):
+    """The single wiring point for the cached-embedding fast path.
+
+    If `train_cfg.cache_embeddings` applies (fusion model + frozen
+    encoders), precompute every split's embeddings and return
+    `(new_splits, head_task)`; otherwise return `(splits, None)` — with a
+    loud warning when the flag was set but its preconditions do not hold,
+    so a user never silently measures the slow path believing it cached.
+
+    `splits` is a {name: Arrays} dict; order and names are preserved.
+    """
+    from ecgmm_tpu.models.fusion import ECGMultimodalModel
+    from ecgmm_tpu.workloads.tasks import make_fusion_head_task
+
+    if not train_cfg.cache_embeddings:
+        return splits, None
+    if not isinstance(model, ECGMultimodalModel) or not frozen:
+        warnings.warn(
+            "cache_embeddings=True ignored: the fast path needs a fusion "
+            "model with frozen encoders (got "
+            f"{type(model).__name__}, frozen={frozen}); training takes "
+            "the uncached parity path.",
+            stacklevel=2,
+        )
+        return splits, None
+    new_splits = {
+        name: precompute_fusion_embeddings(
+            model, state, arrs, train_cfg.eval_bs, mesh
+        )
+        for name, arrs in splits.items()
+    }
+    return new_splits, make_fusion_head_task(model, train_cfg)

@@ -173,7 +173,21 @@ def run_pipeline(
         else None,
     )
     ckpt = CheckpointManager(os.path.join(run_dir, "fusion"))
-    task = make_fusion_task(fusion_model, t)
+    # Warm-started encoders are frozen from here on: optionally precompute
+    # their embeddings once per split and train only the fusion surface
+    # (train/embed.py; PARITY.md "Cached-embedding fusion training").
+    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+
+    splits, head_task = maybe_cache_fusion_embeddings(
+        fusion_model, state,
+        {"train": data.train, "val": data.val, "test": data.test},
+        t, mesh, frozen=t.freeze_encoders,
+    )
+    if head_task is not None:
+        data = dataclasses.replace(data, **splits)
+        task = head_task
+    else:
+        task = make_fusion_task(fusion_model, t)
     result = engine.fit(
         task, state, tx, data.train, data.val, t,
         mesh=mesh, ckpt=ckpt, verbose=verbose,
@@ -194,11 +208,17 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--n-synth", type=int, default=128)
     p.add_argument("--run-dir", default="./checkpoints/pipeline")
+    p.add_argument("--cache-embeddings", action="store_true",
+                   help="stage 4: train the fusion surface over "
+                        "precomputed frozen-encoder embeddings")
     args = p.parse_args(argv)
 
     cfg = get_preset("fusion")
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, num_epochs=args.epochs)
+        cfg, train=dataclasses.replace(
+            cfg.train, num_epochs=args.epochs,
+            cache_embeddings=args.cache_embeddings,
+        )
     )
     from ecgmm_tpu.utils.cache import with_cache_recovery
 

@@ -296,26 +296,16 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     # Cached-embedding fusion fast path: precompute the frozen encoders'
     # outputs once per split (one scan dispatch each) and train/evaluate
     # the fusion surface over them (train/embed.py; PARITY.md row).
-    if (
-        t.cache_embeddings and cfg.name.startswith("fusion")
-        and t.freeze_encoders
-    ):
-        from ecgmm_tpu.train.embed import precompute_fusion_embeddings
-        from ecgmm_tpu.workloads.tasks import make_fusion_head_task
+    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
 
-        data = dataclasses.replace(
-            data,
-            train=precompute_fusion_embeddings(
-                model, state, data.train, t.eval_bs, mesh
-            ),
-            val=precompute_fusion_embeddings(
-                model, state, data.val, t.eval_bs, mesh
-            ),
-            test=precompute_fusion_embeddings(
-                model, state, data.test, t.eval_bs, mesh
-            ),
-        )
-        task = make_fusion_head_task(model, t)
+    splits, head_task = maybe_cache_fusion_embeddings(
+        model, state,
+        {"train": data.train, "val": data.val, "test": data.test},
+        t, mesh, frozen=t.freeze_encoders,
+    )
+    if head_task is not None:
+        data = dataclasses.replace(data, **splits)
+        task = head_task
 
     weights = None
     if cfg.name == "ptbxl_af":

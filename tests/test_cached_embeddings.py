@@ -153,6 +153,54 @@ def test_streamed_precompute_matches_resident(small_data, setup, mesh8):
         )
 
 
+def test_maybe_cache_helper_semantics(small_data, setup, mesh8):
+    """maybe_cache_fusion_embeddings: the single wiring point shared by
+    run.py / pretrain.py / cv.py."""
+    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+
+    cfg, model, tx, state, variables = setup
+    splits = {"train": small_data.train, "val": small_data.val}
+
+    # flag off → identity, no task
+    out, task = maybe_cache_fusion_embeddings(
+        model, state, splits, cfg, mesh8, frozen=True
+    )
+    assert out is splits and task is None
+
+    # flag on but encoders not frozen → loud warning + parity path
+    on = dataclasses.replace(cfg, cache_embeddings=True)
+    with pytest.warns(UserWarning, match="cache_embeddings"):
+        out, task = maybe_cache_fusion_embeddings(
+            model, state, splits, on, mesh8, frozen=False
+        )
+    assert out is splits and task is None
+
+    # flag on + frozen fusion model → cached splits + head task
+    out, task = maybe_cache_fusion_embeddings(
+        model, state, splits, on, mesh8, frozen=True
+    )
+    assert task is not None
+    assert out["train"].images.shape == (small_data.train.n, 512)
+    assert out["val"].signals.shape == (small_data.val.n, 128)
+
+
+def test_precompute_empty_split_keeps_branch_dims(setup):
+    from ecgmm_tpu.data.pipeline import Arrays
+
+    cfg, model, tx, state, variables = setup
+    empty = Arrays(
+        images=jnp.zeros((0, 32, 64, 3), jnp.uint8),
+        signals=jnp.zeros((0, 512), jnp.float32),
+        clinical=jnp.zeros((0, 2), jnp.float32),
+        labels=jnp.zeros((0,), jnp.int32),
+        indices=np.zeros((0,), np.int64),
+    )
+    out = precompute_fusion_embeddings(model, state, empty, cfg.eval_bs)
+    assert out.images.shape == (0, 512)
+    assert out.signals.shape == (0, 128)
+    assert out.clinical.shape == (0, 32)
+
+
 def test_runner_with_cache_embeddings(tmp_path, monkeypatch):
     from ecgmm_tpu.workloads import run as run_mod
 

@@ -79,3 +79,28 @@ def test_pipeline_end_to_end(mesh8, tmp_path):
     assert len(result.history) == 1
     assert np.isfinite(ev.loss)
     assert ev.logits.shape[1] == 2
+
+
+def test_pipeline_end_to_end_cached_embeddings(mesh8, tmp_path):
+    """Stage-4 fusion over precomputed warm-started-encoder embeddings."""
+    from ecgmm_tpu.workloads.run import load_data
+
+    cfg = Config(
+        name="fusion",
+        model=ModelConfig(dtype="float32"),
+        train=TrainConfig(
+            batch_size=16, num_epochs=1, patience=10, cache_embeddings=True
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, img_height=32, img_width=32,
+                                 signal_len=256),
+    )
+    data = load_data(cfg, "synthetic", n_synth=48)
+    result, ev = run_pipeline(
+        cfg, data, str(tmp_path), stage_epochs=1, mesh=mesh8, verbose=False
+    )
+    assert len(result.history) == 1
+    assert np.isfinite(ev.loss)
+    assert ev.logits.shape[1] == 2
