@@ -300,6 +300,28 @@ class ServingPipeline:
             pass
         return cls(model, variables)
 
+    @classmethod
+    def from_exported(cls, bundle_dir: str) -> "ServingPipeline":
+        """Rehydrate a pipeline from an AOT deployment bundle
+        (serve/export.py): the deserialized StableHLO program — weights
+        baked in as constants — replaces the jitted request program, so
+        serving needs no model code, Flax init, or checkpoint read and
+        cannot skew from the exporting run."""
+        from ecgmm_tpu.serve.export import _load_scaler, load_bundle
+
+        predict_all, meta, host = load_bundle(bundle_dir)
+        pipe = cls.__new__(cls)
+        pipe.model = None
+        pipe.variables = None
+        pipe.ecg_scaler = _load_scaler(host, "ecg_scaler")
+        pipe.clinical_scaler = _load_scaler(host, "clinical_scaler")
+        pipe.signal_len = int(meta["signal_len"])
+        pipe.img_hw = tuple(meta["img_hw"])
+        pipe.dims = tuple(meta["dims"])
+        pipe.background = host["background"]
+        pipe._predict_all = predict_all
+        return pipe
+
     def warmup(self, strip_hw: Tuple[int, int] = (250, 2500)) -> None:
         """Compile every jit program in the request path once at startup
         so the first real request doesn't pay cold-start latency (minutes
@@ -470,11 +492,17 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--synthetic", action="store_true",
                    help="demo pipeline (shipped PTB-XL encoder, random heads)")
+    p.add_argument("--bundle", default=None,
+                   help="serve an AOT deployment bundle (serve/export.py) "
+                        "instead of building the pipeline from model code")
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args(argv)
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
-    pipeline = ServingPipeline.demo()
+    pipeline = (
+        ServingPipeline.from_exported(args.bundle)
+        if args.bundle else ServingPipeline.demo()
+    )
     if not args.no_warmup:
         print("warming up (compiling the request path)…")
         with_cache_recovery(pipeline.warmup)

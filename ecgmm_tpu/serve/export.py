@@ -1,0 +1,146 @@
+"""AOT deployment bundles for the serving pipeline (jax.export).
+
+The reference has no deployment story at all — its mobile app POSTs to a
+server that is not in the repo (SURVEY §0; `/root/reference/Groove/
+components/SubmitButton.tsx:44-48`). This framework's serving path is one
+jitted program (`ServingPipeline._predict_all`, serve/api.py), which makes
+it exportable: `export_bundle` lowers that program to StableHLO via
+`jax.export` — model weights baked in as constants, multi-platform
+(CPU + TPU) by default — and writes a self-contained directory next to the
+host-side preprocessing constants (scalers, branch dims, strip geometry).
+
+`ServingPipeline.from_exported(path)` rehydrates a fully working pipeline
+from the bundle WITHOUT the model code, Flax, or the checkpoint: the
+deserialized program is the only device computation, and the unchanged
+`ServingPipeline.predict` drives it. Deployment therefore needs the bundle
+plus this package's host-side code only — no retracing, no recompile
+beyond XLA's fast AOT ingest, and no possibility of train/serve skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ecgmm_tpu.data.preprocess import Scaler
+
+_PROGRAM = "predict_all.stablehlo"
+_META = "meta.json"
+_HOST = "host_constants.npz"
+_FORMAT_VERSION = 1
+
+
+def export_bundle(
+    pipeline,
+    out_dir: str,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> str:
+    """Serialize `pipeline`'s whole request program + host constants.
+
+    Returns `out_dir`. The traced shapes are the pipeline's serving shapes
+    (batch-1 strip image at model resolution, `signal_len` samples,
+    `clinical_in_features` scaled clinical inputs) — the request path only
+    ever sees these, so static shapes lose nothing.
+    """
+    h, w = pipeline.img_hw
+    n_clin = pipeline.model.cfg.clinical_in_features
+    args = (
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.zeros((1, pipeline.signal_len), jnp.float32),
+        jnp.zeros((1, n_clin), jnp.float32),
+    )
+    exported = jax_export.export(
+        pipeline._predict_all, platforms=tuple(platforms)
+    )(*args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+
+    host = {
+        "background": np.asarray(pipeline.background, np.float32),
+    }
+    for name, scaler in (
+        ("ecg_scaler", pipeline.ecg_scaler),
+        ("clinical_scaler", pipeline.clinical_scaler),
+    ):
+        if scaler is not None:
+            host[f"{name}_mean"] = np.asarray(scaler.mean)
+            host[f"{name}_scale"] = np.asarray(scaler.scale)
+    np.savez(os.path.join(out_dir, _HOST), **host)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "platforms": list(exported.platforms),
+        "img_hw": list(pipeline.img_hw),
+        "signal_len": pipeline.signal_len,
+        "clinical_in_features": n_clin,
+        "dims": list(pipeline.dims),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+def _load_scaler(host, name: str) -> Optional[Scaler]:
+    if f"{name}_mean" not in host:
+        return None
+    return Scaler(mean=host[f"{name}_mean"], scale=host[f"{name}_scale"])
+
+
+def load_bundle(bundle_dir: str):
+    """Deserialize a bundle into `(predict_all, meta, host_constants)`.
+
+    `predict_all` is the jitted deserialized program — same signature and
+    outputs as `ServingPipeline._predict_all`. Raises FileNotFoundError /
+    ValueError on missing or incompatible bundles.
+    """
+    with open(os.path.join(bundle_dir, _META)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"bundle format {meta.get('format_version')!r} != "
+            f"{_FORMAT_VERSION} (re-export with this package version)"
+        )
+    with open(os.path.join(bundle_dir, _PROGRAM), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    host = dict(np.load(os.path.join(bundle_dir, _HOST)))
+    return jax.jit(exported.call), meta, host
+
+
+def main(argv=None):
+    """CLI: export the demo/trained serving pipeline to a bundle.
+
+        python -m ecgmm_tpu.serve.export --out ./bundle [--run-dir <ckpt>]
+    """
+    import argparse
+
+    from ecgmm_tpu.serve.api import ServingPipeline
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-dir", default=None,
+                   help="trained run to export (default: demo pipeline)")
+    p.add_argument("--platforms", default="cpu,tpu")
+    args = p.parse_args(argv)
+
+    pipe = (
+        ServingPipeline.from_run(args.run_dir)
+        if args.run_dir else ServingPipeline.demo()
+    )
+    out = export_bundle(
+        pipe, args.out, platforms=tuple(args.platforms.split(","))
+    )
+    print(f"exported serving bundle -> {out}")
+
+
+if __name__ == "__main__":
+    main()
