@@ -104,6 +104,9 @@ class ServingPipeline:
                 size=(32, sum(self.dims))
             ).astype(np.float32)
         self.background = background_embeddings
+        self.n_clin = cfg.clinical_in_features
+        self._batcher = None
+        self._exported_buckets = None
         self._build_jitted()
 
     def _build_jitted(self):
@@ -203,12 +206,26 @@ class ServingPipeline:
             ca = clinical_ig(img, sig, clin, pred)
             return probs, pred, cam, attr, ca
 
+        @jax.jit
+        @jax.vmap
+        def predict_many(img, sig, clin):
+            """The batched request program: the single-sample request
+            vmapped over a bucketed batch (serve/batching.py). Batch-1
+            serving under-fills the MXU and pays a full dispatch round
+            trip per request; coalescing concurrent requests into one
+            vmapped dispatch is the TPU serving-throughput lever."""
+            probs, pred, cam, attr, ca = predict_all(
+                img[None], sig[None], clin[None]
+            )
+            return probs[0], pred, cam[0], attr[0], ca
+
         self._forward = forward
         self._encode = encode
         self._gradcam = gradcam
         self._shap = shap
         self._clin_attr = clin_attr
         self._predict_all = predict_all
+        self._predict_many = predict_many
 
     @classmethod
     def from_run(
@@ -318,9 +335,83 @@ class ServingPipeline:
         pipe.signal_len = int(meta["signal_len"])
         pipe.img_hw = tuple(meta["img_hw"])
         pipe.dims = tuple(meta["dims"])
+        pipe.n_clin = int(meta["clinical_in_features"])
         pipe.background = host["background"]
         pipe._predict_all = predict_all
+        pipe._batcher = None
+        from ecgmm_tpu.serve.export import load_batched_programs
+
+        progs = load_batched_programs(bundle_dir)
+        if progs:
+            def predict_many(img, sig, clin, _progs=progs):
+                fn = _progs.get(int(img.shape[0]))
+                if fn is None:
+                    raise ValueError(
+                        f"bundle has no batched program for bucket "
+                        f"{img.shape[0]} (exported: {sorted(_progs)})"
+                    )
+                return fn(img, sig, clin)
+
+            pipe._predict_many = predict_many
+            pipe._exported_buckets = tuple(sorted(progs))
+        else:
+            pipe._predict_many = None
+            pipe._exported_buckets = None
         return pipe
+
+    def enable_batching(
+        self,
+        window_ms: float = 4.0,
+        max_batch: Optional[int] = None,
+        buckets: Optional[Tuple[int, ...]] = None,
+    ) -> None:
+        """Coalesce concurrent predict() calls into single bucketed
+        vmapped dispatches (serve/batching.py). For AOT pipelines the
+        bundle must have been exported with batch_buckets."""
+        from ecgmm_tpu.serve.batching import MicroBatcher
+
+        if self._predict_many is None:
+            raise ValueError(
+                "this pipeline has no batched request program — export "
+                "the bundle with batch_buckets=(1, 2, 4, 8) to serve "
+                "batched from AOT"
+            )
+        if buckets is None:
+            buckets = self._exported_buckets or (1, 2, 4, 8)
+        if self._exported_buckets is not None and not (
+            set(buckets) <= set(self._exported_buckets)
+        ):
+            raise ValueError(
+                f"requested batch buckets {buckets} not all exported "
+                f"(bundle has {self._exported_buckets})"
+            )
+        if max_batch is None:
+            max_batch = max(buckets)
+        self.close_batching()
+        self._batcher = MicroBatcher(
+            self._predict_many, window_ms=window_ms,
+            max_batch=max_batch, buckets=buckets,
+        )
+
+    def close_batching(self) -> None:
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
+
+    def warmup_batched(self) -> None:
+        """Compile every batch bucket's program up front."""
+        if self._batcher is None:
+            return
+        import numpy as _np
+
+        h, w = self.img_hw
+        for b in self._batcher._buckets:
+            out = self._predict_many(
+                jnp.zeros((b, h, w, 3), jnp.float32),
+                jnp.zeros((b, self.signal_len), jnp.float32),
+                jnp.zeros((b, self.n_clin), jnp.float32),
+            )
+            _np.asarray(out[0])  # sync
 
     def warmup(self, strip_hw: Tuple[int, int] = (250, 2500)) -> None:
         """Compile every jit program in the request path once at startup
@@ -359,10 +450,17 @@ class ServingPipeline:
             clin = np.asarray(self.clinical_scaler.transform(clin))
 
         # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
-        # device dispatch (see _predict_all)
-        probs_a, pred_a, cam, attr, ca_a = self._predict_all(
-            jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
-        )
+        # device dispatch (see _predict_all); with batching enabled,
+        # concurrent requests share that dispatch (serve/batching.py)
+        if self._batcher is not None:
+            probs_s, pred_a, cam_s, attr_s, ca_a = self._batcher.submit(
+                img_norm[0], sig[0], clin[0]
+            )
+            probs_a, cam, attr = probs_s[None], cam_s[None], attr_s[None]
+        else:
+            probs_a, pred_a, cam, attr, ca_a = self._predict_all(
+                jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
+            )
         probs = np.asarray(probs_a)[0]
         pred = int(pred_a)
         label = "Abnormal" if pred == 1 else "Normal"
@@ -496,6 +594,10 @@ def main(argv=None):
                    help="serve an AOT deployment bundle (serve/export.py) "
                         "instead of building the pipeline from model code")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="coalesce concurrent requests for this many ms "
+                        "into one bucketed device dispatch (0 = off)")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args(argv)
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
@@ -503,9 +605,17 @@ def main(argv=None):
         ServingPipeline.from_exported(args.bundle)
         if args.bundle else ServingPipeline.demo()
     )
+    if args.batch_window_ms > 0:
+        buckets = tuple(
+            b for b in (1, 2, 4, 8, 16) if b <= args.max_batch
+        )
+        pipeline.enable_batching(
+            args.batch_window_ms, max_batch=max(buckets), buckets=buckets
+        )
     if not args.no_warmup:
         print("warming up (compiling the request path)…")
         with_cache_recovery(pipeline.warmup)
+        with_cache_recovery(pipeline.warmup_batched)
     print(f"serving on :{args.port}{ENDPOINT}")
     serve(pipeline, args.port)
 

@@ -41,6 +41,7 @@ def export_bundle(
     pipeline,
     out_dir: str,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    batch_buckets: Optional[Sequence[int]] = None,
 ) -> str:
     """Serialize `pipeline`'s whole request program + host constants.
 
@@ -48,21 +49,37 @@ def export_bundle(
     (batch-1 strip image at model resolution, `signal_len` samples,
     `clinical_in_features` scaled clinical inputs) — the request path only
     ever sees these, so static shapes lose nothing.
+
+    `batch_buckets` additionally exports the vmapped batched request
+    program at each bucket size, so the bundle can serve with dynamic
+    micro-batching (`ServingPipeline.enable_batching`, serve/batching.py).
     """
     h, w = pipeline.img_hw
     n_clin = pipeline.model.cfg.clinical_in_features
-    args = (
-        jnp.zeros((1, h, w, 3), jnp.float32),
-        jnp.zeros((1, pipeline.signal_len), jnp.float32),
-        jnp.zeros((1, n_clin), jnp.float32),
-    )
+
+    def example(b):
+        return (
+            jnp.zeros((b, h, w, 3), jnp.float32),
+            jnp.zeros((b, pipeline.signal_len), jnp.float32),
+            jnp.zeros((b, n_clin), jnp.float32),
+        )
+
     exported = jax_export.export(
         pipeline._predict_all, platforms=tuple(platforms)
-    )(*args)
+    )(*example(1))
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
         f.write(exported.serialize())
+
+    for b in batch_buckets or ():
+        exp_b = jax_export.export(
+            pipeline._predict_many, platforms=tuple(platforms)
+        )(*example(b))
+        with open(
+            os.path.join(out_dir, f"predict_many_{b}.stablehlo"), "wb"
+        ) as f:
+            f.write(exp_b.serialize())
 
     host = {
         "background": np.asarray(pipeline.background, np.float32),
@@ -83,6 +100,7 @@ def export_bundle(
         "signal_len": pipeline.signal_len,
         "clinical_in_features": n_clin,
         "dims": list(pipeline.dims),
+        "batch_buckets": sorted(batch_buckets or ()),
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -116,6 +134,23 @@ def load_bundle(bundle_dir: str):
     return jax.jit(exported.call), meta, host
 
 
+def load_batched_programs(bundle_dir: str):
+    """{bucket_size: jitted program} for bundles exported with
+    batch_buckets; empty dict otherwise."""
+    meta_path = os.path.join(bundle_dir, _META)
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        meta = json.load(f)
+    progs = {}
+    for b in meta.get("batch_buckets") or ():
+        with open(
+            os.path.join(bundle_dir, f"predict_many_{b}.stablehlo"), "rb"
+        ) as f:
+            progs[int(b)] = jax.jit(jax_export.deserialize(f.read()).call)
+    return progs
+
+
 def main(argv=None):
     """CLI: export the demo/trained serving pipeline to a bundle.
 
@@ -130,14 +165,21 @@ def main(argv=None):
     p.add_argument("--run-dir", default=None,
                    help="trained run to export (default: demo pipeline)")
     p.add_argument("--platforms", default="cpu,tpu")
+    p.add_argument("--batch-buckets", default="",
+                   help="comma list, e.g. 1,2,4,8 — also export the "
+                        "batched request program at these batch sizes")
     args = p.parse_args(argv)
 
     pipe = (
         ServingPipeline.from_run(args.run_dir)
         if args.run_dir else ServingPipeline.demo()
     )
+    buckets = tuple(
+        int(b) for b in args.batch_buckets.split(",") if b.strip()
+    )
     out = export_bundle(
-        pipe, args.out, platforms=tuple(args.platforms.split(","))
+        pipe, args.out, platforms=tuple(args.platforms.split(",")),
+        batch_buckets=buckets or None,
     )
     print(f"exported serving bundle -> {out}")
 
