@@ -339,25 +339,30 @@ class ServingPipeline:
         pipe.background = host["background"]
         pipe._predict_all = predict_all
         pipe._batcher = None
+        # batched programs each carry a full weight copy — defer the
+        # deserialization to enable_batching() so unbatched serving never
+        # pays for them (only the cheap meta list is read here)
+        pipe._bundle_dir = bundle_dir
+        pipe._predict_many = None
+        buckets = meta.get("batch_buckets") or ()
+        pipe._exported_buckets = tuple(sorted(buckets)) or None
+        return pipe
+
+    def _load_exported_batched(self) -> None:
         from ecgmm_tpu.serve.export import load_batched_programs
 
-        progs = load_batched_programs(bundle_dir)
-        if progs:
-            def predict_many(img, sig, clin, _progs=progs):
-                fn = _progs.get(int(img.shape[0]))
-                if fn is None:
-                    raise ValueError(
-                        f"bundle has no batched program for bucket "
-                        f"{img.shape[0]} (exported: {sorted(_progs)})"
-                    )
-                return fn(img, sig, clin)
+        progs = load_batched_programs(self._bundle_dir)
 
-            pipe._predict_many = predict_many
-            pipe._exported_buckets = tuple(sorted(progs))
-        else:
-            pipe._predict_many = None
-            pipe._exported_buckets = None
-        return pipe
+        def predict_many(img, sig, clin, _progs=progs):
+            fn = _progs.get(int(img.shape[0]))
+            if fn is None:
+                raise ValueError(
+                    f"bundle has no batched program for bucket "
+                    f"{img.shape[0]} (exported: {sorted(_progs)})"
+                )
+            return fn(img, sig, clin)
+
+        self._predict_many = predict_many
 
     def enable_batching(
         self,
@@ -371,11 +376,14 @@ class ServingPipeline:
         from ecgmm_tpu.serve.batching import MicroBatcher
 
         if self._predict_many is None:
-            raise ValueError(
-                "this pipeline has no batched request program — export "
-                "the bundle with batch_buckets=(1, 2, 4, 8) to serve "
-                "batched from AOT"
-            )
+            if self._exported_buckets:
+                self._load_exported_batched()  # deferred from_exported
+            else:
+                raise ValueError(
+                    "this pipeline has no batched request program — "
+                    "export the bundle with batch_buckets=(8,) (or more "
+                    "buckets) to serve batched from AOT"
+                )
         if buckets is None:
             buckets = self._exported_buckets or (1, 2, 4, 8)
         if self._exported_buckets is not None and not (
@@ -387,11 +395,14 @@ class ServingPipeline:
             )
         if max_batch is None:
             max_batch = max(buckets)
-        self.close_batching()
-        self._batcher = MicroBatcher(
+        # construct (and validate) the new batcher BEFORE tearing down a
+        # live one, so a bad re-enable never leaves batching silently off
+        new = MicroBatcher(
             self._predict_many, window_ms=window_ms,
             max_batch=max_batch, buckets=buckets,
         )
+        self.close_batching()
+        self._batcher = new
 
     def close_batching(self) -> None:
         if self._batcher is not None:
@@ -597,7 +608,10 @@ def main(argv=None):
     p.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="coalesce concurrent requests for this many ms "
                         "into one bucketed device dispatch (0 = off)")
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="largest batch bucket to serve; rounded DOWN to "
+                        "the nearest available bucket (powers of two for "
+                        "live pipelines, the exported set for bundles)")
     args = p.parse_args(argv)
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
@@ -606,9 +620,13 @@ def main(argv=None):
         if args.bundle else ServingPipeline.demo()
     )
     if args.batch_window_ms > 0:
-        buckets = tuple(
-            b for b in (1, 2, 4, 8, 16) if b <= args.max_batch
-        )
+        available = pipeline._exported_buckets or (1, 2, 4, 8, 16)
+        buckets = tuple(b for b in available if b <= args.max_batch)
+        if not buckets:
+            p.error(
+                f"--max-batch {args.max_batch} admits none of the "
+                f"available batch buckets {available}"
+            )
         pipeline.enable_batching(
             args.batch_window_ms, max_batch=max(buckets), buckets=buckets
         )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -74,8 +75,13 @@ class MicroBatcher:
         self._not_empty = threading.Condition(self._lock)
         self._pending: list[_Pending] = []
         self._closed = False
-        # observability: one entry per device dispatch
-        self.dispatch_sizes: list[int] = []
+        # observability: actual coalesced request counts (NOT the padded
+        # bucket sizes) of the most recent dispatches, plus O(1) lifetime
+        # counters — the history is bounded so a long-running server
+        # never grows it
+        self.dispatch_sizes: deque = deque(maxlen=1024)
+        self.n_dispatches = 0
+        self.n_requests = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -160,7 +166,9 @@ class MicroBatcher:
                 )
                 outs = self._batch_fn(*stacked)
                 outs = tuple(np.asarray(o) for o in outs)
-                self.dispatch_sizes.append(bucket)
+                self.dispatch_sizes.append(n)
+                self.n_dispatches += 1
+                self.n_requests += n
                 for j, p in enumerate(batch):
                     p.result = tuple(o[j] for o in outs)
                     p.event.set()

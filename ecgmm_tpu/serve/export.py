@@ -53,6 +53,11 @@ def export_bundle(
     `batch_buckets` additionally exports the vmapped batched request
     program at each bucket size, so the bundle can serve with dynamic
     micro-batching (`ServingPipeline.enable_batching`, serve/batching.py).
+    Every program carries its own copy of the baked-in weights, so each
+    bucket adds ~one bundle-size to the directory; on TPU a batch-8
+    dispatch costs the same wall-clock as batch-1 (BASELINE.md "Serving"),
+    so `batch_buckets=(8,)` — every dispatch padded to 8 — is usually the
+    right size/throughput trade-off there.
     """
     h, w = pipeline.img_hw
     n_clin = pipeline.model.cfg.clinical_in_features
@@ -164,16 +169,35 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--run-dir", default=None,
                    help="trained run to export (default: demo pipeline)")
+    p.add_argument("--data", default="synthetic",
+                   help="data source the run was trained on (scalers + "
+                        "SHAP background come from its train split)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--n-synth", type=int, default=244)
     p.add_argument("--platforms", default="cpu,tpu")
     p.add_argument("--batch-buckets", default="",
-                   help="comma list, e.g. 1,2,4,8 — also export the "
-                        "batched request program at these batch sizes")
+                   help="comma list — also export the batched request "
+                        "program at these batch sizes (each adds ~one "
+                        "bundle-size of weights; '8' alone is usually "
+                        "right on TPU, see BASELINE.md)")
     args = p.parse_args(argv)
 
-    pipe = (
-        ServingPipeline.from_run(args.run_dir)
-        if args.run_dir else ServingPipeline.demo()
-    )
+    if args.run_dir:
+        import dataclasses
+
+        from ecgmm_tpu.workloads.run import get_preset, load_data
+
+        cfg = get_preset("fusion")
+        if args.data_dir:
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(
+                    cfg.data, data_dir=args.data_dir
+                )
+            )
+        data = load_data(cfg, args.data, args.n_synth)
+        pipe = ServingPipeline.from_run(args.run_dir, data)
+    else:
+        pipe = ServingPipeline.demo()
     buckets = tuple(
         int(b) for b in args.batch_buckets.split(",") if b.strip()
     )

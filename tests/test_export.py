@@ -65,6 +65,31 @@ def test_multi_platform_lowering(demo_pipeline, tmp_path):
     assert r["label"] in ("Normal", "Abnormal")
 
 
+def test_cli_run_dir_wiring(monkeypatch, tmp_path):
+    """--run-dir must reach from_run WITH the data split it needs
+    (regression: the CLI once omitted the required 'data' argument)."""
+    from ecgmm_tpu.serve import export as ex
+
+    captured = {}
+
+    def fake_from_run(cls, run_dir, data, **kw):
+        captured["run_dir"] = run_dir
+        captured["n"] = data.train.n + data.val.n + data.test.n
+        return object()
+
+    monkeypatch.setattr(
+        ServingPipeline, "from_run", classmethod(fake_from_run)
+    )
+    monkeypatch.setattr(
+        ex, "export_bundle",
+        lambda pipe, out, platforms, batch_buckets=None: out,
+    )
+    ex.main(["--out", str(tmp_path / "b"), "--run-dir", "/some/run",
+             "--n-synth", "32", "--platforms", "cpu"])
+    assert captured["run_dir"] == "/some/run"
+    assert captured["n"] == 32
+
+
 def test_format_version_gate(demo_pipeline, tmp_path):
     import json
     import os

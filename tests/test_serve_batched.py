@@ -147,6 +147,18 @@ def test_exported_bundle_serves_batched(cohort, tmp_path):
         pipe.close_batching()
 
 
+def test_failed_reenable_keeps_live_batcher(pipelines, cohort):
+    """A bad re-enable must not tear down a working batcher."""
+    _, batched = pipelines
+    old = batched._batcher
+    with pytest.raises(ValueError):
+        # max_batch 6 != max(default buckets (1,2,4,8))
+        batched.enable_batching(window_ms=5, max_batch=6)
+    assert batched._batcher is old
+    r = batched.predict(cohort.images[0], {"age": 60, "weight": 70})
+    assert r["label"] in ("Normal", "Abnormal")
+
+
 def test_enable_batching_without_programs_raises(tmp_path):
     from ecgmm_tpu.serve.export import export_bundle
 
