@@ -6,3 +6,8 @@ from ecgmm_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     pad_to_multiple,
 )
+from ecgmm_tpu.parallel.tp import (  # noqa: F401
+    tp_bytes_per_device,
+    tp_shard,
+    tp_spec,
+)
