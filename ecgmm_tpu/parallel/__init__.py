@@ -7,6 +7,7 @@ from ecgmm_tpu.parallel.mesh import (  # noqa: F401
     pad_to_multiple,
 )
 from ecgmm_tpu.parallel.tp import (  # noqa: F401
+    place_state,
     tp_bytes_per_device,
     tp_shard,
     tp_spec,

@@ -60,6 +60,18 @@ def tp_shard(tree, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(place, tree)
 
 
+def place_state(tree, mesh: Mesh, axis: str = "model"):
+    """The engine's one placement entry point: replicate when the mesh has
+    no real model axis, column-shard (tp_shard) when it does — so every
+    harness (run/pretrain/cv/engine.fit) becomes tensor-parallel purely by
+    configuring ``MeshConfig(n_model=k)``."""
+    if axis in mesh.shape and mesh.shape[axis] > 1:
+        return tp_shard(tree, mesh, axis)
+    from ecgmm_tpu.parallel.mesh import replicate
+
+    return replicate(tree, mesh)
+
+
 def tp_bytes_per_device(tree, mesh: Mesh, axis: str = "model") -> int:
     """Per-device bytes of `tree` under tp_shard's layout (diagnostic)."""
     n_model = mesh.shape[axis]

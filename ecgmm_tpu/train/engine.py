@@ -32,7 +32,7 @@ import optax
 
 from ecgmm_tpu.config import TrainConfig
 from ecgmm_tpu.data.pipeline import Arrays, Batch, iterate_batches
-from ecgmm_tpu.parallel import replicate
+from ecgmm_tpu.parallel import place_state
 from ecgmm_tpu.train import optim as optim_lib
 from ecgmm_tpu.train.checkpoint import CheckpointManager
 from ecgmm_tpu.train.logging import MetricWriter
@@ -394,7 +394,9 @@ def fit(
     else:
         eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
     if mesh is not None:
-        state = replicate(state, mesh)
+        # replicated on a pure-data mesh; column-sharded kernels when the
+        # mesh has a real model axis (tensor parallelism, parallel/tp.py)
+        state = place_state(state, mesh)
 
     # fixed validation plan (no shuffle) — computed once
     if val_arrays.n > 0 and not val_streamed:

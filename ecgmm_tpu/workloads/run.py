@@ -358,6 +358,10 @@ def main(argv=None):
     p.add_argument("--run-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="continue from --run-dir's last checkpoint")
+    p.add_argument("--n-model", type=int, default=None,
+                   help="model-axis size: >1 trains tensor-parallel "
+                        "(column-sharded kernels, parallel/tp.py) over a "
+                        "2-D (data, model) mesh")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -377,6 +381,10 @@ def main(argv=None):
     if args.data_dir:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, data_dir=args.data_dir)
+        )
+    if args.n_model is not None:
+        cfg = dataclasses.replace(
+            cfg, mesh=dataclasses.replace(cfg.mesh, n_model=args.n_model)
         )
 
     from ecgmm_tpu.utils.cache import with_cache_recovery

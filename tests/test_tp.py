@@ -110,6 +110,46 @@ def test_tp_actually_shards_memory():
     assert tp_bytes_per_device(variables["params"], mesh) < repl
 
 
+def test_fit_under_tp_matches_dp():
+    """The WHOLE training loop (engine.fit: scan epochs, optimizer,
+    early-stop bookkeeping, eval) is tensor-parallel purely via
+    MeshConfig(n_model=k) — and reproduces the DP run's loss history."""
+    from ecgmm_tpu.config import Config
+    from ecgmm_tpu.data import pipeline, synthetic
+    from ecgmm_tpu.train import optim as optim_lib
+    from ecgmm_tpu.train.state import create_state as mk_state
+
+    cohort = synthetic.make_cohort(n=64, signal_len=512, img_hw=(8, 8))
+    data = pipeline.materialize_trimodal(cohort, Config())
+    from ecgmm_tpu.workloads import make_signal_task
+
+    def run(mesh):
+        cfg = TrainConfig(batch_size=16, num_epochs=2, lr=1e-3,
+                          schedule="constant", patience=10,
+                          donate_state=False)
+        model = ResNet1DSE(num_classes=2, base_filters=16)
+        tx = optim_lib.make_optimizer(cfg, 4)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.ones((1, 512, 1)))
+        state = mk_state(variables, tx, jax.random.PRNGKey(0))
+        task = make_signal_task(model, cfg)
+        return engine.fit(task, state, tx, data.train, data.val, cfg,
+                          mesh=mesh, verbose=False)
+
+    r_dp = run(make_mesh(MeshConfig(n_data=8)))
+    r_tp = run(make_mesh(MeshConfig(n_data=4, n_model=2)))
+    # Adam's rsqrt amplifies f32 reduction-order noise across epochs, so
+    # the full-loop comparison is tolerance-based; the bit-level TP==DP
+    # guarantee is test_tp_train_step_matches_replicated (SGD, 1 step).
+    for h_dp, h_tp in zip(r_dp.history, r_tp.history):
+        assert h_dp["Loss/Train"] == pytest.approx(
+            h_tp["Loss/Train"], rel=1e-2
+        )
+        assert h_dp["Loss/Val"] == pytest.approx(
+            h_tp["Loss/Val"], rel=1e-2
+        )
+
+
 def test_tp_fusion_forward_matches_replicated():
     """The flagship trimodal model forwards identically under dp×tp."""
     mesh_dp = make_mesh(MeshConfig(n_data=8))
