@@ -107,7 +107,35 @@ class ServingPipeline:
         self.n_clin = cfg.clinical_in_features
         self._batcher = None
         self._exported_buckets = None
+        self._init_stats()
         self._build_jitted()
+
+    def _init_stats(self):
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._latency_sum = 0.0
+
+    def stats(self) -> Dict:
+        """Operational counters for the /stats endpoint."""
+        with self._stats_lock:
+            n, lat = self._n_requests, self._latency_sum
+        out = {
+            "requests": n,
+            "mean_latency_ms": (lat / n * 1e3) if n else 0.0,
+            "aot": self.model is None,
+            "batching": None,
+        }
+        b = self._batcher
+        if b is not None:
+            out["batching"] = {
+                "dispatches": b.n_dispatches,
+                "requests": b.n_requests,
+                "mean_coalescence": (
+                    b.n_requests / b.n_dispatches if b.n_dispatches else 0.0
+                ),
+                "recent_sizes": list(b.dispatch_sizes)[-16:],
+            }
+        return out
 
     def _build_jitted(self):
         """Every device computation in the request path is jitted once —
@@ -339,6 +367,7 @@ class ServingPipeline:
         pipe.background = host["background"]
         pipe._predict_all = predict_all
         pipe._batcher = None
+        pipe._init_stats()
         # batched programs each carry a full weight copy — defer the
         # deserialization to enable_batching() so unbatched serving never
         # pays for them (only the cheap meta list is read here)
@@ -433,6 +462,9 @@ class ServingPipeline:
         self.predict(dummy, {"age": 60, "weight": 70})
 
     def predict(self, image_u8: np.ndarray, questionnaire: Dict) -> Dict:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         # 1. digitize the uploaded strip into a voltage series
         mv = digitize_lead2(image_u8, target_len=self.signal_len)
 
@@ -514,6 +546,9 @@ class ServingPipeline:
             age=age, sex=_sex_from_questionnaire(questionnaire),
         )
 
+        with self._stats_lock:
+            self._n_requests += 1
+            self._latency_sum += _time.perf_counter() - _t0
         return {
             "label": label,
             "probability": float(probs[pred]),
@@ -531,7 +566,21 @@ def make_handler(pipeline: ServingPipeline):
         def log_message(self, fmt, *args):
             pass
 
+        def _send_json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json({"status": "ok"})
+                return
+            if self.path == "/stats":
+                self._send_json(pipeline.stats())
+                return
             if self.path not in ("/", "/index.html"):
                 self.send_error(404)
                 return

@@ -185,6 +185,16 @@ def test_feature_importance_age_wt_not_tied(server):
     assert fi["age"] >= 0.0 and fi["wt"] >= 0.0
 
 
+def test_health_and_stats_endpoints(server):
+    h = json.load(urllib.request.urlopen(server + "/healthz", timeout=60))
+    assert h == {"status": "ok"}
+    s = json.load(urllib.request.urlopen(server + "/stats", timeout=60))
+    assert s["requests"] >= 1  # the contract tests above already POSTed
+    assert s["mean_latency_ms"] > 0.0
+    assert s["aot"] is False
+    assert s["batching"] is None  # demo server runs unbatched
+
+
 def test_sex_from_questionnaire_gender_mapping():
     """The app posts the radio key 'gender' ('0' male / '1' female); the
     report layer must receive a sex, not None (round-2 review finding)."""
