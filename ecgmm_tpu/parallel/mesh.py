@@ -31,6 +31,19 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     devices = list(devices if devices is not None else jax.devices())
     n_model = max(1, cfg.n_model)
     n_data = cfg.n_data if cfg.n_data > 0 else len(devices) // n_model
+    if n_data < 1:
+        raise ValueError(
+            f"n_model={n_model} exceeds the {len(devices)} visible "
+            f"device(s) — no data-parallel replicas remain"
+        )
+    if n_data * n_model < len(devices) and cfg.n_data <= 0:
+        import warnings
+
+        warnings.warn(
+            f"mesh uses {n_data * n_model} of {len(devices)} devices "
+            f"(n_model={n_model} does not divide the device count)",
+            stacklevel=2,
+        )
     use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, (cfg.data_axis, cfg.model_axis))
 

@@ -20,9 +20,13 @@ combined layout.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ecgmm_tpu.parallel.mesh import replicate
 
 
 def tp_spec(leaf, n_model: int, axis: str = "model") -> P:
@@ -60,15 +64,19 @@ def tp_shard(tree, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(place, tree)
 
 
-def place_state(tree, mesh: Mesh, axis: str = "model"):
+def place_state(tree, mesh: Mesh, axis: Optional[str] = None):
     """The engine's one placement entry point: replicate when the mesh has
     no real model axis, column-shard (tp_shard) when it does — so every
     harness (run/pretrain/cv/engine.fit) becomes tensor-parallel purely by
-    configuring ``MeshConfig(n_model=k)``."""
-    if axis in mesh.shape and mesh.shape[axis] > 1:
-        return tp_shard(tree, mesh, axis)
-    from ecgmm_tpu.parallel.mesh import replicate
+    configuring ``MeshConfig(n_model=k)``.
 
+    The model axis is the mesh's LAST named axis (make_mesh builds
+    ``(data_axis, model_axis)``), so custom axis names in MeshConfig work
+    without extra plumbing; pass ``axis`` to override."""
+    if axis is None and len(mesh.axis_names) > 1:
+        axis = mesh.axis_names[-1]
+    if axis is not None and axis in mesh.shape and mesh.shape[axis] > 1:
+        return tp_shard(tree, mesh, axis)
     return replicate(tree, mesh)
 
 

@@ -26,6 +26,7 @@ import io
 import json
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
@@ -127,14 +128,7 @@ class ServingPipeline:
         }
         b = self._batcher
         if b is not None:
-            out["batching"] = {
-                "dispatches": b.n_dispatches,
-                "requests": b.n_requests,
-                "mean_coalescence": (
-                    b.n_requests / b.n_dispatches if b.n_dispatches else 0.0
-                ),
-                "recent_sizes": list(b.dispatch_sizes)[-16:],
-            }
+            out["batching"] = b.stats()
         return out
 
     def _build_jitted(self):
@@ -460,11 +454,14 @@ class ServingPipeline:
         dummy = np.full(strip_hw + (3,), 255, np.uint8)
         dummy[strip_hw[0] // 2, :, :] = 0
         self.predict(dummy, {"age": 60, "weight": 70})
+        # the warmup request's cold-compile latency (minutes on remote
+        # backends) must not pollute the /stats serving metrics
+        with self._stats_lock:
+            self._n_requests = 0
+            self._latency_sum = 0.0
 
     def predict(self, image_u8: np.ndarray, questionnaire: Dict) -> Dict:
-        import time as _time
-
-        _t0 = _time.perf_counter()
+        _t0 = time.perf_counter()
         # 1. digitize the uploaded strip into a voltage series
         mv = digitize_lead2(image_u8, target_len=self.signal_len)
 
@@ -548,7 +545,7 @@ class ServingPipeline:
 
         with self._stats_lock:
             self._n_requests += 1
-            self._latency_sum += _time.perf_counter() - _t0
+            self._latency_sum += time.perf_counter() - _t0
         return {
             "label": label,
             "probability": float(probs[pred]),

@@ -103,6 +103,19 @@ class MicroBatcher:
             raise item.error
         return item.result
 
+    def stats(self) -> dict:
+        """Consistent snapshot of the dispatch counters."""
+        with self._lock:
+            return {
+                "dispatches": self.n_dispatches,
+                "requests": self.n_requests,
+                "mean_coalescence": (
+                    self.n_requests / self.n_dispatches
+                    if self.n_dispatches else 0.0
+                ),
+                "recent_sizes": list(self.dispatch_sizes)[-16:],
+            }
+
     def close(self) -> None:
         with self._not_empty:
             self._closed = True
@@ -166,9 +179,10 @@ class MicroBatcher:
                 )
                 outs = self._batch_fn(*stacked)
                 outs = tuple(np.asarray(o) for o in outs)
-                self.dispatch_sizes.append(n)
-                self.n_dispatches += 1
-                self.n_requests += n
+                with self._lock:
+                    self.dispatch_sizes.append(n)
+                    self.n_dispatches += 1
+                    self.n_requests += n
                 for j, p in enumerate(batch):
                     p.result = tuple(o[j] for o in outs)
                     p.event.set()

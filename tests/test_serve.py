@@ -186,10 +186,26 @@ def test_feature_importance_age_wt_not_tied(server):
 
 
 def test_health_and_stats_endpoints(server):
+    from PIL import Image
+
     h = json.load(urllib.request.urlopen(server + "/healthz", timeout=60))
     assert h == {"status": "ok"}
+
+    # issue one POST ourselves so the assertions hold under test isolation
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="PNG")
+    body, ctype = _multipart({
+        "file": ("e.png", buf.getvalue()),
+        "questionnaire": (None, json.dumps({"age": 60}).encode()),
+    })
+    req = urllib.request.Request(server + ENDPOINT, data=body,
+                                 headers={"Content-Type": ctype},
+                                 method="POST")
+    urllib.request.urlopen(req, timeout=600).read()
+
     s = json.load(urllib.request.urlopen(server + "/stats", timeout=60))
-    assert s["requests"] >= 1  # the contract tests above already POSTed
+    assert s["requests"] >= 1
     assert s["mean_latency_ms"] > 0.0
     assert s["aot"] is False
     assert s["batching"] is None  # demo server runs unbatched

@@ -86,6 +86,21 @@ def test_tp_train_step_matches_replicated():
         np.testing.assert_allclose(b_dp[k], b_tp[k], atol=1e-5, err_msg=k)
 
 
+def test_infeasible_mesh_rejected_and_custom_axis_names_work():
+    with pytest.raises(ValueError, match="n_model"):
+        make_mesh(MeshConfig(n_model=16))  # only 8 virtual devices
+    with pytest.warns(UserWarning, match="does not divide"):
+        mesh = make_mesh(MeshConfig(n_model=3))
+    assert mesh.shape["model"] == 3 and mesh.shape["data"] == 2
+
+    # custom model-axis name still tensor-parallelises via place_state
+    from ecgmm_tpu.parallel import place_state
+
+    mesh = make_mesh(MeshConfig(n_data=4, n_model=2, model_axis="mp"))
+    placed = place_state({"k": jnp.zeros((8, 16))}, mesh)
+    assert "mp" in str(placed["k"].sharding.spec)
+
+
 def test_tp_actually_shards_memory():
     mesh = make_mesh(MeshConfig(n_data=4, n_model=2))
     model = ResNet1DSE(num_classes=2, base_filters=16)
