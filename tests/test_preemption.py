@@ -1,0 +1,123 @@
+"""Fault injection: a REAL SIGTERM delivered to a training process mid-run
+must finish the current epoch, durably persist the full TrainState, and
+exit gracefully — and a fresh process must resume exactly from there
+(SURVEY §5 failure-detection row; engine.fit's preemption hook)."""
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, %r)
+    import jax.numpy as jnp
+    from ecgmm_tpu.config import Config, MeshConfig, TrainConfig
+    from ecgmm_tpu.data import pipeline, synthetic
+    from ecgmm_tpu.models import ResNet1DSE
+    from ecgmm_tpu.parallel import make_mesh
+    from ecgmm_tpu.train import engine, optim as optim_lib
+    from ecgmm_tpu.train.checkpoint import CheckpointManager
+    from ecgmm_tpu.train.state import create_state
+    from ecgmm_tpu.workloads import make_signal_task
+
+    ckpt_dir = sys.argv[1]
+    cohort = synthetic.make_cohort(n=64, signal_len=256, img_hw=(8, 8))
+    data = pipeline.materialize_trimodal(cohort, Config())
+    cfg = TrainConfig(batch_size=16, num_epochs=500, lr=1e-3,
+                      patience=100000, schedule="constant")
+    model = ResNet1DSE(num_classes=2, base_filters=8)
+    tx = optim_lib.make_optimizer(cfg, 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 256, 1)))
+    state = create_state(variables, tx, jax.random.PRNGKey(0))
+    result = engine.fit(
+        make_signal_task(model, cfg), state, tx, data.train, data.val,
+        cfg, mesh=make_mesh(MeshConfig(n_data=8)),
+        ckpt=CheckpointManager(ckpt_dir), verbose=True,
+    )
+    print("GRACEFUL_EXIT epochs=%%d" %% len(result.history), flush=True)
+""" % REPO)
+
+
+def test_sigterm_mid_training_saves_and_resumes(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", CHILD, ckpt_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
+    )
+    try:
+        # wait until at least 3 epochs have been reported, then preempt
+        epochs_seen, lines, deadline = 0, [], time.monotonic() + 600
+        while epochs_seen < 3:
+            assert time.monotonic() < deadline, "".join(lines[-20:])
+            line = proc.stdout.readline()
+            assert line, "child exited early:\n" + "".join(lines[-20:])
+            lines.append(line)
+            if line.startswith("epoch "):
+                epochs_seen += 1
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+        lines.append(out)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    full = "".join(lines)
+    assert proc.returncode == 0, full
+    assert "GRACEFUL_EXIT" in full, full
+
+    # the persisted state resumes exactly where the run was preempted
+    import jax
+    import jax.numpy as jnp
+
+    from ecgmm_tpu.config import TrainConfig
+    from ecgmm_tpu.models import ResNet1DSE
+    from ecgmm_tpu.train import optim as optim_lib
+    from ecgmm_tpu.train.checkpoint import CheckpointManager
+    from ecgmm_tpu.train.state import create_state
+
+    cfg = TrainConfig(batch_size=16, num_epochs=500, lr=1e-3,
+                      patience=100000, schedule="constant")
+    model = ResNet1DSE(num_classes=2, base_filters=8)
+    tx = optim_lib.make_optimizer(cfg, 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 256, 1)))
+    skeleton = create_state(variables, tx, jax.random.PRNGKey(0))
+    restored = CheckpointManager(ckpt_dir).restore("last", skeleton)
+
+    completed = int(restored.epoch)
+    assert 3 <= completed < 500, completed
+    for leaf in jax.tree_util.tree_leaves(restored.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # and a resumed fit continues from that epoch (2 more epochs only)
+    import dataclasses
+
+    from ecgmm_tpu.config import Config, MeshConfig
+    from ecgmm_tpu.data import pipeline, synthetic
+    from ecgmm_tpu.parallel import make_mesh
+    from ecgmm_tpu.train import engine
+    from ecgmm_tpu.workloads import make_signal_task
+
+    cohort = synthetic.make_cohort(n=64, signal_len=256, img_hw=(8, 8))
+    data = pipeline.materialize_trimodal(cohort, Config())
+    resume_cfg = dataclasses.replace(
+        cfg, num_epochs=completed + 2, donate_state=False
+    )
+    result = engine.fit(
+        make_signal_task(model, resume_cfg), restored, tx,
+        data.train, data.val, resume_cfg,
+        mesh=make_mesh(MeshConfig(n_data=8)), verbose=False,
+    )
+    assert len(result.history) == 2
+    assert int(result.state.epoch) == completed + 2
