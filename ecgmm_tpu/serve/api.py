@@ -115,6 +115,42 @@ class ServingPipeline:
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._latency_sum = 0.0
+        self._packed_fn = None
+        self._out_shapes = None
+
+    # -- single-readback output packing ---------------------------------
+    #
+    # On relayed TPU backends EVERY device->host array fetch pays a full
+    # relay round trip (~25 ms measured); the request program returns 5
+    # arrays, so fetching them separately costs ~125 ms of a ~210 ms
+    # request. Packing the outputs into ONE flat f32 vector on device and
+    # unpacking on the host makes the whole request a single round trip.
+
+    def _ensure_packed(self, img, sig, clin):
+        if self._packed_fn is not None:
+            return
+        base = self._predict_all
+        self._out_shapes = [
+            s.shape for s in jax.eval_shape(base, img, sig, clin)
+        ]
+
+        @jax.jit
+        def packed(img, sig, clin):
+            outs = base(img, sig, clin)
+            return jnp.concatenate(
+                [jnp.reshape(o, (-1,)).astype(jnp.float32) for o in outs]
+            )
+
+        self._packed_fn = packed
+
+    def _unpack(self, flat: np.ndarray):
+        flat = np.asarray(flat)
+        sizes = [int(np.prod(s, dtype=np.int64)) for s in self._out_shapes]
+        parts = np.split(flat, np.cumsum(sizes)[:-1])
+        probs, pred, cam, attr, ca = (
+            p.reshape(s) for p, s in zip(parts, self._out_shapes)
+        )
+        return probs, int(round(float(pred))), cam, attr, ca
 
     def stats(self) -> Dict:
         """Operational counters for the /stats endpoint."""
@@ -418,10 +454,24 @@ class ServingPipeline:
             )
         if max_batch is None:
             max_batch = max(buckets)
+        # the batcher's device program packs each sample's outputs into
+        # one row, so a whole dispatch costs a single device→host fetch
+        # (see _ensure_packed)
+        base_many = self._predict_many
+
+        @jax.jit
+        def packed_many(img, sig, clin):
+            outs = base_many(img, sig, clin)
+            b = outs[0].shape[0]
+            return (jnp.concatenate(
+                [jnp.reshape(o, (b, -1)).astype(jnp.float32)
+                 for o in outs], axis=1,
+            ),)
+
         # construct (and validate) the new batcher BEFORE tearing down a
         # live one, so a bad re-enable never leaves batching silently off
         new = MicroBatcher(
-            self._predict_many, window_ms=window_ms,
+            packed_many, window_ms=window_ms,
             max_batch=max_batch, buckets=buckets,
         )
         self.close_batching()
@@ -433,19 +483,17 @@ class ServingPipeline:
             self._batcher = None
 
     def warmup_batched(self) -> None:
-        """Compile every batch bucket's program up front."""
+        """Compile every batch bucket's (packed) program up front."""
         if self._batcher is None:
             return
-        import numpy as _np
-
         h, w = self.img_hw
         for b in self._batcher._buckets:
-            out = self._predict_many(
+            out = self._batcher._batch_fn(
                 jnp.zeros((b, h, w, 3), jnp.float32),
                 jnp.zeros((b, self.signal_len), jnp.float32),
                 jnp.zeros((b, self.n_clin), jnp.float32),
             )
-            _np.asarray(out[0])  # sync
+            np.asarray(out[0])  # sync
 
     def warmup(self, strip_hw: Tuple[int, int] = (250, 2500)) -> None:
         """Compile every jit program in the request path once at startup
@@ -490,19 +538,21 @@ class ServingPipeline:
             clin = np.asarray(self.clinical_scaler.transform(clin))
 
         # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
-        # device dispatch (see _predict_all); with batching enabled,
-        # concurrent requests share that dispatch (serve/batching.py)
+        # device dispatch (see _predict_all) and ONE device→host readback
+        # (_ensure_packed); with batching enabled, concurrent requests
+        # share that dispatch too (serve/batching.py)
+        img_j = jnp.asarray(img_norm)
+        sig_j = jnp.asarray(sig)
+        clin_j = jnp.asarray(clin)
+        self._ensure_packed(img_j, sig_j, clin_j)
         if self._batcher is not None:
-            probs_s, pred_a, cam_s, attr_s, ca_a = self._batcher.submit(
-                img_norm[0], sig[0], clin[0]
-            )
-            probs_a, cam, attr = probs_s[None], cam_s[None], attr_s[None]
+            (row,) = self._batcher.submit(img_norm[0], sig[0], clin[0])
+            probs_a, pred, cam, attr, ca_a = self._unpack(row)
         else:
-            probs_a, pred_a, cam, attr, ca_a = self._predict_all(
-                jnp.asarray(img_norm), jnp.asarray(sig), jnp.asarray(clin)
+            probs_a, pred, cam, attr, ca_a = self._unpack(
+                self._packed_fn(img_j, sig_j, clin_j)
             )
         probs = np.asarray(probs_a)[0]
-        pred = int(pred_a)
         label = "Abnormal" if pred == 1 else "Normal"
 
         # upsample the CAM to the original strip on the HOST (PIL bilinear
