@@ -77,6 +77,21 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
     return fields
 
 
+def _pack_outputs(outs, batched: bool):
+    """Flatten+cast the request program's output tuple into one f32 array
+    (per row when batched) — the device side of the packed wire format
+    whose host side is ServingPipeline._unpack."""
+    if batched:
+        b = outs[0].shape[0]
+        return jnp.concatenate(
+            [jnp.reshape(o, (b, -1)).astype(jnp.float32) for o in outs],
+            axis=1,
+        )
+    return jnp.concatenate(
+        [jnp.reshape(o, (-1,)).astype(jnp.float32) for o in outs]
+    )
+
+
 class ServingPipeline:
     """Holds the fusion model + variables and a scaler context; stateless
     per request (jit cache keyed by input shapes)."""
@@ -115,7 +130,12 @@ class ServingPipeline:
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._latency_sum = 0.0
+        self._init_packing()
+
+    def _init_packing(self):
+        self._pack_lock = threading.Lock()
         self._packed_fn = None
+        self._packed_many_fn = None
         self._out_shapes = None
 
     # -- single-readback output packing ---------------------------------
@@ -125,23 +145,46 @@ class ServingPipeline:
     # arrays, so fetching them separately costs ~125 ms of a ~210 ms
     # request. Packing the outputs into ONE flat f32 vector on device and
     # unpacking on the host makes the whole request a single round trip.
+    # _pack_outputs and _unpack are the two sides of one wire format.
 
-    def _ensure_packed(self, img, sig, clin):
+    def _ensure_packed(self, img, sig, clin) -> None:
+        """Lazily build the packed batch-1 program ONCE (locked: two
+        concurrent first requests must not each pay the cold compile).
+        Accepts numpy arrays — only shapes are needed (jax.eval_shape)."""
         if self._packed_fn is not None:
             return
-        base = self._predict_all
-        self._out_shapes = [
-            s.shape for s in jax.eval_shape(base, img, sig, clin)
-        ]
+        with self._pack_lock:
+            if self._packed_fn is not None:
+                return
+            base = self._predict_all
+            self._out_shapes = [
+                s.shape for s in jax.eval_shape(base, img, sig, clin)
+            ]
 
-        @jax.jit
-        def packed(img, sig, clin):
-            outs = base(img, sig, clin)
-            return jnp.concatenate(
-                [jnp.reshape(o, (-1,)).astype(jnp.float32) for o in outs]
-            )
+            @jax.jit
+            def packed(img, sig, clin):
+                return _pack_outputs(base(img, sig, clin), batched=False)
 
-        self._packed_fn = packed
+            self._packed_fn = packed
+
+    def _batched_packed_fn(self):
+        """The per-row-packed batched program, built once and cached so
+        re-enabling batching never retraces/recompiles the buckets."""
+        if self._packed_many_fn is None:
+            with self._pack_lock:
+                if self._packed_many_fn is None:
+                    base_many = self._predict_many
+
+                    @jax.jit
+                    def packed_many(img, sig, clin):
+                        return (
+                            _pack_outputs(
+                                base_many(img, sig, clin), batched=True
+                            ),
+                        )
+
+                    self._packed_many_fn = packed_many
+        return self._packed_many_fn
 
     def _unpack(self, flat: np.ndarray):
         flat = np.asarray(flat)
@@ -454,24 +497,12 @@ class ServingPipeline:
             )
         if max_batch is None:
             max_batch = max(buckets)
+        # construct (and validate) the new batcher BEFORE tearing down a
+        # live one, so a bad re-enable never leaves batching silently off;
         # the batcher's device program packs each sample's outputs into
         # one row, so a whole dispatch costs a single device→host fetch
-        # (see _ensure_packed)
-        base_many = self._predict_many
-
-        @jax.jit
-        def packed_many(img, sig, clin):
-            outs = base_many(img, sig, clin)
-            b = outs[0].shape[0]
-            return (jnp.concatenate(
-                [jnp.reshape(o, (b, -1)).astype(jnp.float32)
-                 for o in outs], axis=1,
-            ),)
-
-        # construct (and validate) the new batcher BEFORE tearing down a
-        # live one, so a bad re-enable never leaves batching silently off
         new = MicroBatcher(
-            packed_many, window_ms=window_ms,
+            self._batched_packed_fn(), window_ms=window_ms,
             max_batch=max_batch, buckets=buckets,
         )
         self.close_batching()
@@ -540,17 +571,19 @@ class ServingPipeline:
         # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
         # device dispatch (see _predict_all) and ONE device→host readback
         # (_ensure_packed); with batching enabled, concurrent requests
-        # share that dispatch too (serve/batching.py)
-        img_j = jnp.asarray(img_norm)
-        sig_j = jnp.asarray(sig)
-        clin_j = jnp.asarray(clin)
-        self._ensure_packed(img_j, sig_j, clin_j)
+        # share that dispatch too (serve/batching.py). Note: host arrays
+        # go to the device exactly once — via the batcher's stack on the
+        # batched path, via the jit call itself otherwise.
+        self._ensure_packed(img_norm, sig, clin)
         if self._batcher is not None:
             (row,) = self._batcher.submit(img_norm[0], sig[0], clin[0])
             probs_a, pred, cam, attr, ca_a = self._unpack(row)
         else:
             probs_a, pred, cam, attr, ca_a = self._unpack(
-                self._packed_fn(img_j, sig_j, clin_j)
+                self._packed_fn(
+                    jnp.asarray(img_norm), jnp.asarray(sig),
+                    jnp.asarray(clin),
+                )
             )
         probs = np.asarray(probs_a)[0]
         label = "Abnormal" if pred == 1 else "Normal"
