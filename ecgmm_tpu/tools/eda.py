@@ -106,3 +106,59 @@ def signal_merge_report(frame: pd.DataFrame, missing: List[int]) -> str:
         f"missing ids ({len(missing)}): {missing}",
     ]
     return "\n".join(lines)
+
+
+def main(argv=None):
+    """CLI mirroring the reference's runnable analysis scripts
+    (`python ptb_xl_eda.py`, `python image_anaylsis.py`, the
+    clinical_analysis notebook):
+
+        python -m ecgmm_tpu.tools.eda cohort clinical.csv --label label
+        python -m ecgmm_tpu.tools.eda ptbxl ./data/ptbxl
+        python -m ecgmm_tpu.tools.eda images ./data/images
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("cohort", help="per-group stats + significance")
+    c.add_argument("clinical_csv")
+    c.add_argument("--label", default="label")
+    c.add_argument("--numeric", default="AGE,Wt",
+                   help="comma list of numeric columns")
+    c.add_argument("--categorical", default="",
+                   help="comma list of categorical columns")
+
+    x = sub.add_parser("ptbxl", help="PTB-XL AFIB-vs-rhythm label stats")
+    x.add_argument("data_dir", help="dir containing ptbxl_database.csv")
+
+    i = sub.add_parser("images", help="image dimension inventory")
+    i.add_argument("image_dir")
+
+    args = p.parse_args(argv)
+    if args.cmd == "cohort":
+        df = pd.read_csv(args.clinical_csv)
+        out = cohort_table(
+            df, args.label,
+            [s for s in args.numeric.split(",") if s],
+            [s for s in args.categorical.split(",") if s],
+        )
+        print(out.to_string(index=False))
+    elif args.cmd == "ptbxl":
+        from ecgmm_tpu.data.sources import load_ptbxl_manifest
+
+        manifest = load_ptbxl_manifest(args.data_dir)
+        print(json.dumps(ptbxl_label_stats(manifest), indent=1))
+    elif args.cmd == "images":
+        out = image_size_audit(args.image_dir)
+        print(out.to_string(index=False))
+        if len(out):
+            sizes = out.groupby(["width", "height"]).size()
+            print("\nsize distribution:")
+            print(sizes.to_string())
+
+
+if __name__ == "__main__":
+    main()

@@ -189,3 +189,73 @@ def cross_dataset_eval(
     logits = np.concatenate(logits)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits))[:, 1])
     return M.summarize_binary(probs, labels)
+
+
+def main(argv=None):
+    """CLI mirroring the reference's `python train_kfold.py` (nested
+    5×3 CV, train_kfold.py:135-178) and `python train_exhausted.py`
+    (all k×(k−1) pairs, train_exhausted.py:165-217):
+
+        python -m ecgmm_tpu.train.cv nested --preset fusion
+        python -m ecgmm_tpu.train.cv exhaustive --k 10 --max-pairs 10
+    """
+    import argparse
+    import dataclasses
+    import json
+
+    from ecgmm_tpu.data import synthetic
+    from ecgmm_tpu.parallel import make_mesh
+    from ecgmm_tpu.utils.cache import (
+        enable_compilation_cache,
+        with_cache_recovery,
+    )
+    from ecgmm_tpu.workloads.run import build_model_and_task, get_preset
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["nested", "exhaustive"])
+    p.add_argument("--preset", default="fusion")
+    p.add_argument("--n-synth", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--cache-embeddings", action="store_true")
+    p.add_argument("--k", type=int, default=10,
+                   help="exhaustive mode: number of folds")
+    p.add_argument("--max-pairs", type=int, default=None,
+                   help="exhaustive mode: bound the 90-pair sweep")
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    cfg = get_preset(args.preset)
+    overrides = {}
+    if args.epochs is not None:
+        overrides["num_epochs"] = args.epochs
+    if args.cache_embeddings:
+        overrides["cache_embeddings"] = True
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides)
+        )
+    cohort = synthetic.make_cohort(
+        n=args.n_synth,
+        signal_len=cfg.data.signal_len,
+        img_hw=(cfg.data.img_height, cfg.data.img_width),
+        n_clinical=cfg.model.clinical_in_features,
+    )
+    mesh = make_mesh(cfg.mesh)
+    if args.mode == "nested":
+        out = with_cache_recovery(
+            lambda: nested_cv(build_model_and_task, cohort, cfg, mesh=mesh)
+        )
+    else:
+        out = with_cache_recovery(
+            lambda: exhaustive_cv(
+                build_model_and_task, cohort, cfg, k=args.k, mesh=mesh,
+                max_pairs=args.max_pairs,
+            )
+        )
+    print(json.dumps(
+        {k: v for k, v in out.items() if k != "pairs"}, indent=1
+    ))
+
+
+if __name__ == "__main__":
+    main()
