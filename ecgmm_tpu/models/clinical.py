@@ -24,7 +24,6 @@ from __future__ import annotations
 import math
 from typing import Any, List
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

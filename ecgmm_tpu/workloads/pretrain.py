@@ -28,7 +28,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ecgmm_tpu.config import Config, get_preset
 from ecgmm_tpu.data import pipeline
