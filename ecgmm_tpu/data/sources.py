@@ -248,14 +248,19 @@ def load_ptbxl_manifest(
 
     db["label"] = db["scp_codes"].apply(lab)
     db = db[db["label"].notna()]
-    return pd.DataFrame(
-        {
-            "record": [
-                os.path.join(ptbxl_dir, r) for r in db["filename_hr"]
-            ],
-            "label": db["label"].astype(np.int64).to_numpy(),
-        }
-    )
+    out = {
+        "record": [
+            os.path.join(ptbxl_dir, r) for r in db["filename_hr"]
+        ],
+        "label": db["label"].astype(np.int64).to_numpy(),
+    }
+    # patient metadata rides along (aligned by construction) so cohort
+    # statistics (tools/eda.ptbxl_label_stats age/weight t-tests,
+    # reference ptb_xl_eda.py) need no second parse
+    for col in ("age", "weight"):
+        if col in db.columns:
+            out[col] = db[col].to_numpy()
+    return pd.DataFrame(out)
 
 
 def load_physionet_manifest(

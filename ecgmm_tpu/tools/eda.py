@@ -120,7 +120,10 @@ def main(argv=None):
     import argparse
     import json
 
-    p = argparse.ArgumentParser(description=__doc__)
+    p = argparse.ArgumentParser(
+        description=main.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("cohort", help="per-group stats + significance")
@@ -150,7 +153,13 @@ def main(argv=None):
         from ecgmm_tpu.data.sources import load_ptbxl_manifest
 
         manifest = load_ptbxl_manifest(args.data_dir)
-        print(json.dumps(ptbxl_label_stats(manifest), indent=1))
+        # the manifest carries age/weight aligned (sources.py), enabling
+        # the reference's between-class t-tests (ptb_xl_eda.py)
+        meta = (
+            manifest
+            if {"age", "weight"} & set(manifest.columns) else None
+        )
+        print(json.dumps(ptbxl_label_stats(manifest, meta), indent=1))
     elif args.cmd == "images":
         out = image_size_audit(args.image_dir)
         print(out.to_string(index=False))

@@ -31,7 +31,7 @@ from ecgmm_tpu.train.state import create_state
 def _build_arrays(
     cohort: SyntheticCohort, idx: np.ndarray,
     ecg_scaler: preprocess.Scaler, clin_scaler: preprocess.Scaler,
-    apply_filter: bool,
+    apply_filter: bool, n_clin: int = 2,
 ) -> Arrays:
     with jax.default_device(jax.devices("cpu")[0]):
         sig = ecg_scaler.transform(cohort.signals[idx])
@@ -39,7 +39,8 @@ def _build_arrays(
             sig = preprocess.preprocess_hospital(sig)
         sig = np.asarray(sig, np.float32)
         clin = np.asarray(
-            clin_scaler.transform(cohort.clinical[idx, :2]), np.float32
+            clin_scaler.transform(cohort.clinical[idx, :n_clin]),
+            np.float32,
         )
     return Arrays(
         images=jnp.asarray(cohort.images[idx]),
@@ -61,11 +62,17 @@ def _fold_auc(
     """Train on (train, val), return AUC of the best state on test —
     the reference's train_inner + test_outer unit (train_kfold.py:20-133)."""
     # per-fold scaler refit on the fold's train subset
-    # (reference train_kfold.py:26-29,159-162)
+    # (reference train_kfold.py:26-29,159-162); the clinical width follows
+    # the preset (2 canonical, 24 modal-balance)
+    n_clin = min(cfg.model.clinical_in_features, cohort.clinical.shape[1])
     ecg_scaler = preprocess.Scaler.fit(cohort.signals[split.train])
-    clin_scaler = preprocess.Scaler.fit(cohort.clinical[split.train, :2])
+    clin_scaler = preprocess.Scaler.fit(
+        cohort.clinical[split.train, :n_clin]
+    )
     arrays = {
-        name: _build_arrays(cohort, idx, ecg_scaler, clin_scaler, apply_filter)
+        name: _build_arrays(
+            cohort, idx, ecg_scaler, clin_scaler, apply_filter, n_clin
+        )
         for name, idx in zip(("train", "val", "test"), split)
     }
 
@@ -200,7 +207,6 @@ def main(argv=None):
         python -m ecgmm_tpu.train.cv exhaustive --k 10 --max-pairs 10
     """
     import argparse
-    import dataclasses
     import json
 
     from ecgmm_tpu.data import synthetic
@@ -211,7 +217,10 @@ def main(argv=None):
     )
     from ecgmm_tpu.workloads.run import build_model_and_task, get_preset
 
-    p = argparse.ArgumentParser(description=__doc__)
+    p = argparse.ArgumentParser(
+        description=main.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     p.add_argument("mode", choices=["nested", "exhaustive"])
     p.add_argument("--preset", default="fusion")
     p.add_argument("--n-synth", type=int, default=128)
@@ -222,18 +231,22 @@ def main(argv=None):
     p.add_argument("--max-pairs", type=int, default=None,
                    help="exhaustive mode: bound the 90-pair sweep")
     args = p.parse_args(argv)
+    if args.preset in ("signal_12lead", "physionet_crnn"):
+        p.error(
+            f"preset {args.preset!r} needs multi-lead / spectrogram "
+            "inputs the CV harness does not materialize — use "
+            "python -m ecgmm_tpu.workloads.run for it"
+        )
+    if args.max_pairs is not None and args.max_pairs < 1:
+        p.error("--max-pairs must be >= 1")
 
     enable_compilation_cache()
-    cfg = get_preset(args.preset)
-    overrides = {}
-    if args.epochs is not None:
-        overrides["num_epochs"] = args.epochs
-    if args.cache_embeddings:
-        overrides["cache_embeddings"] = True
-    if overrides:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, **overrides)
-        )
+    from ecgmm_tpu.workloads.run import apply_train_overrides
+
+    cfg = apply_train_overrides(
+        get_preset(args.preset), epochs=args.epochs,
+        cache_embeddings=args.cache_embeddings,
+    )
     cohort = synthetic.make_cohort(
         n=args.n_synth,
         signal_len=cfg.data.signal_len,
@@ -252,9 +265,15 @@ def main(argv=None):
                 max_pairs=args.max_pairs,
             )
         )
-    print(json.dumps(
-        {k: v for k, v in out.items() if k != "pairs"}, indent=1
-    ))
+    def clean(v):
+        if isinstance(v, float) and not np.isfinite(v):
+            return None  # strict-JSON consumers reject bare NaN
+        if isinstance(v, list):
+            return [clean(x) for x in v]
+        return v
+
+    summary = {k: clean(v) for k, v in out.items() if k != "pairs"}
+    print(json.dumps(summary, indent=1))
 
 
 if __name__ == "__main__":

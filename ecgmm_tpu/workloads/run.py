@@ -338,6 +338,26 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     return result, results
 
 
+def apply_train_overrides(cfg: Config, epochs=None, batch_size=None,
+                          lr=None, cache_embeddings=False) -> Config:
+    """The one place CLI TrainConfig overrides are applied (shared by
+    workloads.run and train.cv so their flags cannot drift)."""
+    overrides = {}
+    if epochs is not None:
+        overrides["num_epochs"] = epochs
+    if batch_size is not None:
+        overrides["batch_size"] = batch_size
+    if lr is not None:
+        overrides["lr"] = lr
+    if cache_embeddings:
+        overrides["cache_embeddings"] = True
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides)
+        )
+    return cfg
+
+
 def main(argv=None):
     from ecgmm_tpu.utils.cache import enable_compilation_cache
 
@@ -365,19 +385,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
-    overrides = {}
-    if args.epochs is not None:
-        overrides["num_epochs"] = args.epochs
-    if args.batch_size is not None:
-        overrides["batch_size"] = args.batch_size
-    if args.lr is not None:
-        overrides["lr"] = args.lr
-    if args.cache_embeddings:
-        overrides["cache_embeddings"] = True
-    if overrides:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, **overrides)
-        )
+    cfg = apply_train_overrides(
+        cfg, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        cache_embeddings=args.cache_embeddings,
+    )
     if args.data_dir:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, data_dir=args.data_dir)

@@ -37,6 +37,42 @@ def test_eda_images_cli(tmp_path, capsys):
     assert "2500" in out and "size distribution" in out
 
 
+def test_cv_modal_balance_uses_full_clinical_width(mesh8):
+    """The CV harness must feed the preset's clinical width (24 for
+    modal-balance), not a hardcoded 2-column slice (review regression)."""
+    import dataclasses
+
+    from ecgmm_tpu.data import synthetic
+    from ecgmm_tpu.train import cv
+    from ecgmm_tpu.workloads.run import build_model_and_task, get_preset
+
+    cfg = get_preset("fusion_modal_balance")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, img_height=16, img_width=32,
+                                 signal_len=256),
+        train=dataclasses.replace(cfg.train, num_epochs=1, batch_size=8,
+                                  patience=10),
+        model=dataclasses.replace(cfg.model, dtype="float32"),
+    )
+    cohort = synthetic.make_cohort(
+        n=48, signal_len=256, img_hw=(16, 32),
+        n_clinical=cfg.model.clinical_in_features,
+    )
+    out = cv.exhaustive_cv(
+        build_model_and_task, cohort, cfg, k=4, mesh=mesh8,
+        apply_filter=False, max_pairs=1, verbose=False,
+    )
+    assert np.isfinite(out["mean_auc"])
+
+
+def test_cv_cli_rejects_unsupported_preset():
+    from ecgmm_tpu.train import cv
+
+    with pytest.raises(SystemExit):
+        cv.main(["nested", "--preset", "signal_12lead"])
+
+
 def test_cv_cli_exhaustive_smoke(monkeypatch, capsys):
     from ecgmm_tpu.train import cv
 
