@@ -31,6 +31,12 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     devices = list(devices if devices is not None else jax.devices())
     n_model = max(1, cfg.n_model)
     n_data = cfg.n_data if cfg.n_data > 0 else len(devices) // n_model
+    if cfg.n_data > 0 and n_data * n_model > len(devices):
+        raise ValueError(
+            f"requested mesh {n_data}x{n_model} (data x model) needs "
+            f"{n_data * n_model} devices but only {len(devices)} are "
+            f"visible"
+        )
     if n_data < 1:
         raise ValueError(
             f"n_model={n_model} exceeds the {len(devices)} visible "

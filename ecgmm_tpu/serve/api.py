@@ -575,8 +575,19 @@ class ServingPipeline:
         # go to the device exactly once — via the batcher's stack on the
         # batched path, via the jit call itself otherwise.
         self._ensure_packed(img_norm, sig, clin)
-        if self._batcher is not None:
-            (row,) = self._batcher.submit(img_norm[0], sig[0], clin[0])
+        # Snapshot the batcher once: a concurrent close_batching() /
+        # enable_batching() between a None-check and .submit() would
+        # otherwise AttributeError, and a submit that lands on a
+        # just-closed batcher should degrade to the unbatched path
+        # rather than 500 the in-flight request.
+        batcher = self._batcher
+        row = None
+        if batcher is not None:
+            try:
+                (row,) = batcher.submit(img_norm[0], sig[0], clin[0])
+            except RuntimeError:  # "MicroBatcher is closed" race
+                row = None
+        if row is not None:
             probs_a, pred, cam, attr, ca_a = self._unpack(row)
         else:
             probs_a, pred, cam, attr, ca_a = self._unpack(
@@ -749,6 +760,11 @@ def main(argv=None):
         if args.bundle else ServingPipeline.demo()
     )
     if args.batch_window_ms > 0:
+        if args.bundle and pipeline._exported_buckets is None:
+            p.error(
+                "bundle was exported without batch_buckets; re-export "
+                "with --batch-buckets to serve batched"
+            )
         available = pipeline._exported_buckets or (1, 2, 4, 8, 16)
         buckets = tuple(b for b in available if b <= args.max_batch)
         if not buckets:

@@ -187,6 +187,12 @@ class MicroBatcher:
                     p.result = tuple(o[j] for o in outs)
                     p.event.set()
             except BaseException as e:  # propagate to every waiter
+                # One fresh exception object per waiter: re-raising a
+                # single shared instance from several submitter threads
+                # concurrently mutates its __traceback__ and interleaves
+                # the printed tracebacks.
                 for p in batch:
-                    p.error = e
+                    err = RuntimeError(f"batched dispatch failed: {e!r}")
+                    err.__cause__ = e
+                    p.error = err
                     p.event.set()
