@@ -94,16 +94,26 @@ def _ghost_bn(x: jnp.ndarray, train: bool, momentum: float, name: str,
 
 
 class _GLULayer(nn.Module):
-    """Linear(in→2·out, no bias) + GhostBN + GLU gating."""
+    """Linear(in→2·out, no bias) + GhostBN + GLU gating.
+
+    The Linear may be a *shared* Dense passed in at call time (the
+    pytorch_tabnet shared feature-transformer layers share ONLY the
+    `fc` weights across decision steps — each FeatTransformer instance
+    owns its own GhostBN parameters/statistics for those shared layers,
+    tab_network GLU_Layer: `self.fc = fc or Linear(...); self.bn =
+    GBN(...)`). The BN here is therefore always module-local."""
 
     out_dim: int
     dtype: Dtype = jnp.float32
     virtual_batch_size: int = 128
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Dense(2 * self.out_dim, use_bias=False,
-                     dtype=self.dtype, name="fc")(x)
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 fc: nn.Module | None = None) -> jnp.ndarray:
+        if fc is None:
+            fc = nn.Dense(2 * self.out_dim, use_bias=False,
+                          dtype=self.dtype, name="fc")
+        x = fc(x)
         x = _ghost_bn(
             x, train, momentum=0.98, name="bn",
             virtual_batch_size=self.virtual_batch_size,
@@ -112,22 +122,25 @@ class _GLULayer(nn.Module):
 
 
 class _FeatTransformer(nn.Module):
-    """Shared GLU layers (parameters reused across decision steps) followed
-    by step-independent GLU layers, with √0.5-scaled residuals."""
+    """Shared GLU layers (Dense kernels reused across decision steps, BN
+    local to this transformer) followed by step-independent GLU layers,
+    with √0.5-scaled residuals (pytorch_tabnet FeatTransformer =
+    GLU_Block(first=True, shared fcs) → GLU_Block(first=False))."""
 
     out_dim: int
-    n_shared: int
     n_independent: int
     dtype: Dtype = jnp.float32
     virtual_batch_size: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
-                 shared: List[_GLULayer]) -> jnp.ndarray:
+                 shared_fcs: List[nn.Module]) -> jnp.ndarray:
         scale = math.sqrt(0.5)
         first = True
-        for layer in shared:
-            h = layer(x, train)
+        for i, fc in enumerate(shared_fcs):
+            h = _GLULayer(self.out_dim, dtype=self.dtype,
+                          virtual_batch_size=self.virtual_batch_size,
+                          name=f"shared_glu_{i}")(x, train, fc=fc)
             x = h if first else (x + h) * scale
             first = False
         for i in range(self.n_independent):
@@ -172,19 +185,22 @@ class TabNetEncoder(nn.Module):
             name="initial_bn",
         )(x)
 
-        # GLU layers whose parameters are shared by every decision step.
-        shared = [
-            _GLULayer(d + a, dtype=self.dtype,
-                      virtual_batch_size=self.virtual_batch_size,
-                      name=f"shared_{i}")
+        # Dense kernels shared by every decision step's feature
+        # transformer. ONLY the kernels are shared — each transformer
+        # keeps its own GhostBN (pytorch_tabnet tab_network:
+        # `shared_feat_transform` is a ModuleList of Linear layers;
+        # every FeatTransformer wraps them in fresh GBN modules).
+        shared_fcs = [
+            nn.Dense(2 * (d + a), use_bias=False, dtype=self.dtype,
+                     name=f"shared_fc_{i}")
             for i in range(self.n_shared)
         ]
 
         att = _FeatTransformer(
-            d + a, self.n_shared, self.n_independent, dtype=self.dtype,
+            d + a, self.n_independent, dtype=self.dtype,
             virtual_batch_size=self.virtual_batch_size,
             name="initial_splitter",
-        )(x, train, shared)[..., d:]
+        )(x, train, shared_fcs)[..., d:]
 
         prior = jnp.ones_like(x)
         m_loss = 0.0
@@ -211,10 +227,10 @@ class TabNetEncoder(nn.Module):
             prior = prior * (self.gamma - mask)
 
             out = _FeatTransformer(
-                d + a, self.n_shared, self.n_independent, dtype=self.dtype,
+                d + a, self.n_independent, dtype=self.dtype,
                 virtual_batch_size=self.virtual_batch_size,
                 name=f"feat_{step}",
-            )(mask * x, train, shared)
+            )(mask * x, train, shared_fcs)
             step_d = nn.relu(out[..., :d])
             agg_d = agg_d + step_d
             att = out[..., d:]

@@ -159,6 +159,102 @@ def convert_clinical_mlp(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     }
 
 
+def convert_tabnet(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """pytorch_tabnet TabNetNoEmbeddings state dict → variables for
+    models.TabNetEncoder (the reference's clinical branch wraps exactly
+    this module — `/root/reference/multimodal.py:109-148`).
+
+    Torch key layout (pytorch_tabnet tab_network):
+      encoder.initial_bn.*,
+      encoder.{initial_splitter,feat_transformers.S}.shared.glu_layers.I.
+        {fc.weight, bn.bn.*}   (fc weights are the SAME tensor across
+        transformers — the shared Linear objects; BN is per-transformer),
+      encoder.*.specifics.glu_layers.I.{fc.weight, bn.bn.*},
+      encoder.att_transformers.S.{fc.weight, bn.bn.*},
+      final_mapping.weight.
+    Wrapper prefixes (`tabnet.` / `encoder.tabnet.` from the reference's
+    ClinicalTabNetEncoder checkpoints, multimodal.py:150-168) are
+    stripped automatically. `encoder.group_attention_matrix` (a v4
+    identity buffer when no feature groups are defined) is ignored."""
+    for pref in ("encoder.tabnet.", "tabnet."):
+        if any(k.startswith(pref) for k in sd):
+            sd = _strip_prefix(sd, pref[:-1])
+            break
+    p: Dict[str, np.ndarray] = {}
+    s: Dict[str, np.ndarray] = {}
+
+    _put_bn(p, s, "initial_bn", sd, "encoder.initial_bn")
+
+    n_shared = len({
+        k.split(".")[4] for k in sd
+        if k.startswith("encoder.initial_splitter.shared.glu_layers.")
+    })
+    n_indep = len({
+        k.split(".")[4] for k in sd
+        if k.startswith("encoder.initial_splitter.specifics.glu_layers.")
+    })
+    n_steps = len({
+        k.split(".")[2] for k in sd
+        if k.startswith("encoder.feat_transformers.")
+    })
+
+    def put_feat(flax_name: str, torch_name: str):
+        for i in range(n_shared):
+            t = f"{torch_name}.shared.glu_layers.{i}"
+            # the fc tensor is shared; take it from whichever path
+            p[f"shared_fc_{i}/kernel"] = _linear(sd[f"{t}.fc.weight"])
+            _put_bn(p, s, f"{flax_name}/shared_glu_{i}/bn", sd, f"{t}.bn.bn")
+        for i in range(n_indep):
+            t = f"{torch_name}.specifics.glu_layers.{i}"
+            p[f"{flax_name}/indep_{i}/fc/kernel"] = _linear(
+                sd[f"{t}.fc.weight"]
+            )
+            _put_bn(p, s, f"{flax_name}/indep_{i}/bn", sd, f"{t}.bn.bn")
+
+    put_feat("initial_splitter", "encoder.initial_splitter")
+    for step in range(n_steps):
+        put_feat(f"feat_{step}", f"encoder.feat_transformers.{step}")
+        t = f"encoder.att_transformers.{step}"
+        p[f"att_fc_{step}/kernel"] = _linear(sd[f"{t}.fc.weight"])
+        _put_bn(p, s, f"att_bn_{step}", sd, f"{t}.bn.bn")
+
+    p["final_mapping/kernel"] = _linear(sd["final_mapping.weight"])
+    return {
+        "params": unflatten_path_dict(p),
+        "batch_stats": unflatten_path_dict(s),
+    }
+
+
+def _convert_fusion_tail(params: dict, sd: Mapping[str, np.ndarray]) -> None:
+    """The post-encoder surface shared by both fusion variants: branch
+    LayerNorms + classifiers, attention fusion, fusion MLP head
+    (multimodal.py:389-415 == multimodal_paper_modal_balance.py:264-296)."""
+    for branch in ("image", "signal", "clinical"):
+        params[f"{branch}_norm"] = {
+            "scale": sd[f"{branch}_norm.weight"],
+            "bias": sd[f"{branch}_norm.bias"],
+        }
+        params[f"{branch}_classifier"] = {
+            "kernel": _linear(sd[f"{branch}_classifier.weight"]),
+            "bias": sd[f"{branch}_classifier.bias"],
+        }
+    params["attention_fusion"] = {
+        "weights": sd["attention_fusion.weights"],
+        "norm": {
+            "scale": sd["attention_fusion.norm.weight"],
+            "bias": sd["attention_fusion.norm.bias"],
+        },
+    }
+    params["fusion_hidden"] = {
+        "kernel": _linear(sd["fusion_classifier.0.weight"]),
+        "bias": sd["fusion_classifier.0.bias"],
+    }
+    params["fusion_out"] = {
+        "kernel": _linear(sd["fusion_classifier.3.weight"]),
+        "bias": sd["fusion_classifier.3.bias"],
+    }
+
+
 def convert_fusion_modal_balance(sd: Mapping[str, np.ndarray]
                                  ) -> Dict[str, dict]:
     """Reference-format fusion checkpoint (torch.save of
@@ -184,30 +280,34 @@ def convert_fusion_modal_balance(sd: Mapping[str, np.ndarray]
         "signal_encoder": sig["batch_stats"],
         "clinical_encoder": clin["batch_stats"],
     }
-    for branch in ("image", "signal", "clinical"):
-        params[f"{branch}_norm"] = {
-            "scale": sd[f"{branch}_norm.weight"],
-            "bias": sd[f"{branch}_norm.bias"],
-        }
-        params[f"{branch}_classifier"] = {
-            "kernel": _linear(sd[f"{branch}_classifier.weight"]),
-            "bias": sd[f"{branch}_classifier.bias"],
-        }
-    params["attention_fusion"] = {
-        "weights": sd["attention_fusion.weights"],
-        "norm": {
-            "scale": sd["attention_fusion.norm.weight"],
-            "bias": sd["attention_fusion.norm.bias"],
-        },
+    _convert_fusion_tail(params, sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_fusion_canonical(sd: Mapping[str, np.ndarray]
+                             ) -> Dict[str, dict]:
+    """Reference-format CANONICAL fusion checkpoint (512/128/32 dims,
+    TabNet clinical branch — multimodal.py:333-469) → variables for
+    models.ECGMultimodalModel(ModelConfig()).
+
+    Same tail as the modal-balance variant; the clinical branch is the
+    wrapped TabNetNoEmbeddings under `clinical_encoder.tabnet.*`
+    (multimodal.py:383-388)."""
+    img = convert_resnet18(_strip_prefix(sd, "image_encoder"))
+    sig = convert_resnet1d_se(_strip_prefix(sd, "signal_encoder"))
+    clin = convert_tabnet(_strip_prefix(sd, "clinical_encoder"))
+
+    params = {
+        "image_encoder": img["params"],
+        "signal_encoder": sig["params"],
+        "clinical_encoder": clin["params"],
     }
-    params["fusion_hidden"] = {
-        "kernel": _linear(sd["fusion_classifier.0.weight"]),
-        "bias": sd["fusion_classifier.0.bias"],
+    stats = {
+        "image_encoder": img["batch_stats"],
+        "signal_encoder": sig["batch_stats"],
+        "clinical_encoder": clin["batch_stats"],
     }
-    params["fusion_out"] = {
-        "kernel": _linear(sd["fusion_classifier.3.weight"]),
-        "bias": sd["fusion_classifier.3.bias"],
-    }
+    _convert_fusion_tail(params, sd)
     return {"params": params, "batch_stats": stats}
 
 
