@@ -4,12 +4,23 @@ The mobile app uploads a *photo* of a lead-II strip and the (missing)
 reference backend returns `ecg_signal` as digitized voltages
 (`Groove/app/(tabs)/ResultScreen.tsx:26-48`). No digitization code exists
 anywhere in the reference (SURVEY.md §0); this implements it for the known
-2500×250 lead-II strip format:
+2500×250 lead-II strip format, robust to real-photo artifacts:
 
-  grayscale → per-column darkness-weighted trace-row centroid (the trace
-  is the darkest ink; grid lines are light red) → gap interpolation →
-  row-to-millivolt scaling from standard ECG paper geometry → resampling
-  to the model's 2476 @ 250 Hz input grid.
+  * red-grid suppression — ECG paper grid is light red (high R channel);
+    ink darkness is measured on the *brightest* channel, so a pixel is
+    "ink" only if it is dark in every channel. Light-red gridlines keep a
+    bright red channel and vanish from the darkness map, no matter how
+    dense the grid;
+  * illumination normalization — per-column paper brightness is estimated
+    as a high quantile and darkness is measured *relative* to it, so
+    shadows / lighting gradients across the photo do not shift the ink
+    threshold;
+  * deskew — camera tilt shows up as a linear trend in the per-column
+    trace centroid; a Theil–Sen (median-of-pairwise-slopes) robust fit
+    removes it without disturbing QRS spikes or baseline wander;
+  * per-column darkness-weighted centroid → gap interpolation →
+    row-to-millivolt scaling from standard ECG paper geometry →
+    resampling to the model's 2476 @ 250 Hz input grid.
 """
 
 from __future__ import annotations
@@ -19,24 +30,49 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
+    """Relative ink-darkness in [0, 1] from an RGB uint8 photo.
+
+    brightness = max over channels: paper is bright in all channels, the
+    light-red grid stays bright in R, the trace is dark in all — so the
+    grid is suppressed without any explicit color segmentation. Darkness
+    is then measured relative to the *local* paper brightness — a
+    separable maximum filter (`bg_window` px; the trace is only ~3 px
+    thick, so the window always sees paper) — which keeps shadows,
+    lighting gradients and bright photo margins from shifting the ink
+    threshold anywhere in the frame."""
+    rgb = np.asarray(image, np.float32)
+    if rgb.ndim == 2:  # already grayscale
+        brightness = rgb
+    else:
+        brightness = rgb.max(axis=-1)
+    from scipy import ndimage
+
+    paper = ndimage.maximum_filter(
+        brightness, size=(bg_window, bg_window), mode="nearest"
+    )
+    paper = np.maximum(paper, 1.0)
+    rel = (paper - brightness) / paper
+    return np.clip(rel, 0.0, 1.0)
+
+
 def extract_trace(
     image: np.ndarray,
-    dark_quantile: float = 0.08,
+    ink_threshold: float = 0.35,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-column trace row (float) + validity mask from an RGB uint8
-    strip. Columns whose darkest pixel is not clearly ink are invalid."""
-    gray = np.asarray(image, np.float32).mean(-1)  # (H, W)
-    h, w = gray.shape
-    # adaptive ink threshold: the darkest `dark_quantile` of pixels
-    thresh = np.quantile(gray, dark_quantile)
-    ink = gray <= max(thresh, 1.0)
-
-    weights = np.where(ink, 255.0 - gray, 0.0)  # darker → heavier
+    strip photo. A column is valid when it contains clearly-ink pixels
+    (relative darkness above `ink_threshold`)."""
+    rel = darkness_map(image)
+    h, w = rel.shape
+    ink = rel >= ink_threshold
+    weights = np.where(ink, rel, 0.0)
     colsum = weights.sum(axis=0)
     valid = colsum > 0
     rows = np.arange(h, dtype=np.float32)
     centroid = np.where(
-        valid, (weights * rows[:, None]).sum(axis=0) / np.maximum(colsum, 1e-6),
+        valid,
+        (weights * rows[:, None]).sum(axis=0) / np.maximum(colsum, 1e-6),
         0.0,
     )
     return centroid, valid
@@ -49,6 +85,27 @@ def interpolate_gaps(trace: np.ndarray, valid: np.ndarray) -> np.ndarray:
         return np.zeros_like(trace)
     x = np.arange(len(trace))
     return np.interp(x, x[valid], trace[valid])
+
+
+def theil_sen_detrend(
+    trace: np.ndarray, n_pairs: int = 2000, seed: int = 0
+) -> Tuple[np.ndarray, float]:
+    """Remove the linear baseline trend (camera tilt / perspective shear)
+    with a Theil–Sen median-of-pairwise-slopes estimate — robust to QRS
+    spikes and baseline wander, unlike a least-squares fit. Returns
+    (detrended trace, slope px/col)."""
+    n = len(trace)
+    if n < 8:
+        return trace, 0.0
+    rng = np.random.default_rng(seed)
+    i = rng.integers(0, n, n_pairs)
+    j = rng.integers(0, n, n_pairs)
+    keep = np.abs(i - j) > n // 8  # well-separated pairs only
+    i, j = i[keep], j[keep]
+    slopes = (trace[j] - trace[i]) / (j - i)
+    slope = float(np.median(slopes)) if len(slopes) else 0.0
+    x = np.arange(n, dtype=np.float32)
+    return trace - slope * (x - x.mean()), slope
 
 
 def rows_to_millivolts(
@@ -71,10 +128,13 @@ def resample_trace(mv: np.ndarray, target_len: int = 2476) -> np.ndarray:
 def digitize_lead2(
     image: np.ndarray, target_len: int = 2476,
     px_per_mv: Optional[float] = None,
+    deskew: bool = True,
 ) -> np.ndarray:
-    """Full pipeline: RGB strip (H, W, 3) uint8 → (target_len,) float32
-    voltage series in mV."""
+    """Full pipeline: RGB strip photo (H, W, 3) uint8 → (target_len,)
+    float32 voltage series in mV."""
     trace, valid = extract_trace(image)
     trace = interpolate_gaps(trace, valid)
+    if deskew:
+        trace, _ = theil_sen_detrend(trace)
     mv = rows_to_millivolts(trace, image.shape[0], px_per_mv)
     return resample_trace(mv, target_len)
