@@ -46,6 +46,17 @@ class StemConv(nn.Module):
     index), i.e. block k' = (k+1)//2, intra-block slot (k+1)%2 — which is
     exactly a zero-pad of the 7×7 kernel to 8×8 at the top/left followed by
     space-to-depth(2) of its spatial dims, with spatial padding (2, 1).
+
+    Folded uint8 normalize: a uint8 input means "raw 0…255 pixels" and the
+    reference's ToTensor+Normalize(±0.5) affine (x/127.5 − 1,
+    dataset.py:119-123) is folded into the conv instead of materialized as
+    a full-resolution float intermediate — the single largest tensor in
+    the flagship step. Because the conv zero-pads in *normalized* space,
+    the fold is conv(pad₀(n(x)), K) = conv(pad₀(x), K/127.5) −
+    conv(pad₀(𝟙), K): the second term is a batch-1 ones-image conv (the
+    spatially-varying border correction; ~1/B of the main conv's cost)
+    broadcast-subtracted from the scaled conv. The space-to-depth shuffle
+    then moves 1-byte pixels instead of 2/4-byte floats.
     """
 
     features: int = 64
@@ -59,27 +70,45 @@ class StemConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (7, 7, c_in, self.features), jnp.float32,
         )
+        fold = x.dtype == jnp.uint8  # fold (x/127.5 − 1) into the conv
         k = kernel.astype(self.dtype)
-        x = x.astype(self.dtype)
-        if (not self.space_to_depth or x.shape[1] % 2 or x.shape[2] % 2):
+        # scale in f32 BEFORE the compute-dtype cast (bf16-rounding once)
+        k_s = (kernel / 127.5).astype(self.dtype) if fold else k
+
+        def conv(inp, ker, strides, pad):
             return lax.conv_general_dilated(
-                x, k, (2, 2), [(3, 3), (3, 3)], dimension_numbers=_CONV_DN
+                inp, ker, strides, pad, dimension_numbers=_CONV_DN
             )
+
+        if (not self.space_to_depth or x.shape[1] % 2 or x.shape[2] % 2):
+            xf = x.astype(self.dtype)
+            out = conv(xf, k_s, (2, 2), [(3, 3), (3, 3)])
+            if fold:
+                ones = jnp.ones((1, x.shape[1], x.shape[2], c_in),
+                                self.dtype)
+                out = out - conv(ones, k, (2, 2), [(3, 3), (3, 3)])
+            return out
         b, h, w, c = x.shape
         xs = (
             x.reshape(b, h // 2, 2, w // 2, 2, c)
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(b, h // 2, w // 2, 4 * c)
-        )
-        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, F)
-        ks = (
-            kp.reshape(4, 2, 4, 2, c, self.features)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 4 * c, self.features)
-        )
-        return lax.conv_general_dilated(
-            xs, ks, (1, 1), [(2, 1), (2, 1)], dimension_numbers=_CONV_DN
-        )
+        ).astype(self.dtype)
+
+        def s2d_kernel(kk):
+            # zero-pad 7×7 → 8×8 top/left, then space-to-depth(2)
+            kkp = jnp.pad(kk, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            return (
+                kkp.reshape(4, 2, 4, 2, c, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 4 * c, self.features)
+            )
+
+        out = conv(xs, s2d_kernel(k_s), (1, 1), [(2, 1), (2, 1)])
+        if fold:
+            ones = jnp.ones((1, h // 2, w // 2, 4 * c), self.dtype)
+            out = out - conv(ones, s2d_kernel(k), (1, 1), [(2, 1), (2, 1)])
+        return out
 
 
 class BasicBlock2D(nn.Module):
@@ -119,7 +148,10 @@ class BasicBlock2D(nn.Module):
 
 
 class ResNet18(nn.Module):
-    """Input: (B, H, W, 3) float (already ±1-normalised).
+    """Input: (B, H, W, 3) float (already ±1-normalised) OR raw uint8
+    pixels — a uint8 input folds the ToTensor+Normalize(±0.5) affine into
+    the stem conv (see StemConv), skipping the full-resolution float
+    normalize intermediate entirely.
 
     `num_classes` is the fc output width — 512 when used as the fusion
     image branch (reference multimodal.py:356), 2 for image-only
@@ -136,7 +168,8 @@ class ResNet18(nn.Module):
         self, x: jnp.ndarray, train: bool = False,
         return_features: bool = False,
     ):
-        x = x.astype(self.dtype)
+        if x.dtype != jnp.uint8:  # uint8 = raw pixels, folded in the stem
+            x = x.astype(self.dtype)
         x = StemConv(
             64, dtype=self.dtype, space_to_depth=self.stem_space_to_depth,
             name="stem_conv",

@@ -81,11 +81,21 @@ def make_signal_task(model, cfg: TrainConfig) -> Task:
     )
 
 
+def _image_input(images: jnp.ndarray, dtype) -> jnp.ndarray:
+    """uint8 batches pass through raw — ResNet18 folds the ±0.5 normalize
+    into its stem conv (models/resnet18.py StemConv), which skips the
+    full-resolution float intermediate. Float batches are assumed
+    un-normalized and take the explicit path (legacy callers)."""
+    if images.dtype == jnp.uint8:
+        return images
+    return normalize_images(images, dtype)
+
+
 def make_image_task(model, cfg: TrainConfig) -> Task:
     dtype = _compute_dtype(model)
 
     def inputs(batch: Batch):
-        return (normalize_images(batch.images, dtype),)
+        return (_image_input(batch.images, dtype),)
 
     return Task(
         apply=_make_apply(model, inputs),
@@ -169,7 +179,7 @@ def make_fusion_task(model, cfg: TrainConfig) -> Task:
 
     def inputs(batch: Batch):
         return (
-            normalize_images(batch.images, dtype),
+            _image_input(batch.images, dtype),
             batch.signals,
             batch.clinical,
         )

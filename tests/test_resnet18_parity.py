@@ -135,3 +135,29 @@ def test_stem_space_to_depth_identity():
         np.asarray(plain.apply(variables, x[:, :223, :223, :])),
         rtol=0, atol=1e-5,
     )
+
+
+def test_uint8_normalize_fold_identity():
+    """A uint8 input folds (x/127.5 − 1) into the stem conv (including
+    the zero-pad border correction); the full ResNet18 forward must match
+    the explicit normalize-then-float path to f32 noise, on both the
+    space-to-depth and the odd-size plain-conv stem."""
+    from ecgmm_tpu.data.pipeline import normalize_images
+
+    model = ResNet18(num_classes=5)  # f32 compute
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 96, 96, 3), jnp.float32)
+    )
+    want = np.asarray(
+        model.apply(variables, normalize_images(jnp.asarray(u8)))
+    )
+    got = np.asarray(model.apply(variables, jnp.asarray(u8)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+    # odd size → plain 7×7 stem, border correction still exact
+    odd = jnp.asarray(u8[:, :95, :93, :])
+    want_o = np.asarray(model.apply(variables, normalize_images(odd)))
+    got_o = np.asarray(model.apply(variables, odd))
+    np.testing.assert_allclose(got_o, want_o, rtol=0, atol=2e-4)
