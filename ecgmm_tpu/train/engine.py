@@ -454,17 +454,27 @@ def fit(
         last_mets: Dict[str, Any] = tm
 
         if val_streamed and val_arrays.n > 0:
-            losses_l, logits_l, labels_l = [], [], []
-            extra_l: Dict[str, List[float]] = {}
+            # Dispatch the whole epoch first, holding only device refs —
+            # a float()/np.asarray() inside the loop would block on a
+            # ~25 ms relay round trip per batch and serialize the
+            # host→device prefetch pipeline.
+            outs, masks_d, labels_d = [], [], []
             for batch in prefetch_batches(
                 val_arrays, cfg.eval_bs, shuffle=False, seed=0, epoch=0,
                 mesh=mesh,
             ):
-                out = stream_eval_step(state, batch)
-                keep = np.asarray(batch.mask) > 0
+                outs.append(stream_eval_step(state, batch))
+                masks_d.append(batch.mask)
+                labels_d.append(batch.labels)
+            # one sync at epoch end: the first conversion waits for the
+            # queued work, the rest are transfers of finished results
+            losses_l, logits_l, labels_l = [], [], []
+            extra_l: Dict[str, List[float]] = {}
+            for out, mask_d, lab_d in zip(outs, masks_d, labels_d):
+                keep = np.asarray(mask_d) > 0
                 losses_l.append(float(out["loss"]))
                 logits_l.append(np.asarray(out["logits"])[keep])
-                labels_l.append(np.asarray(batch.labels)[keep])
+                labels_l.append(np.asarray(lab_d)[keep])
                 for k, v in out["mets"].items():
                     if np.ndim(v) == 0:  # scalars (e.g. var_loss)
                         extra_l.setdefault(k, []).append(float(v))
