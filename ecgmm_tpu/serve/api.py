@@ -539,7 +539,14 @@ class ServingPipeline:
             self._n_requests = 0
             self._latency_sum = 0.0
 
-    def predict(self, image_u8: np.ndarray, questionnaire: Dict) -> Dict:
+    def predict(self, image_u8: np.ndarray, questionnaire: Dict,
+                heatmap_format: str = "png") -> Dict:
+        """heatmap_format (request opt-in, multipart field of the same
+        name): "png" (default — the mobile contract's base64 PNG),
+        "jpeg" (~an order of magnitude faster encode + smaller payload;
+        response adds heatmap_mime), or "cam" (skip the overlay encode
+        entirely and return the raw low-res Grad-CAM grid under
+        heatmap_cam for client-side rendering; heatmap is empty)."""
         _t0 = time.perf_counter()
         # 1. digitize the uploaded strip into a voltage series
         mv = digitize_lead2(image_u8, target_len=self.signal_len)
@@ -603,18 +610,33 @@ class ServingPipeline:
         # on a float map — the CAM is 7x7-native so nothing is lost) and
         # encode with the fastest zlib level: the previous device-side
         # jax.image.resize + default-level PNG encode was 168 ms of a
-        # ~230 ms request, vs 36 ms for ALL the model work.
+        # ~230 ms request, vs 36 ms for ALL the model work. The encode is
+        # still the single largest host cost (~23 ms of a ~155 ms warm
+        # request), so clients can opt out of it entirely ("cam") or take
+        # the ~10× cheaper JPEG encode ("jpeg").
         cam_small = np.asarray(cam, np.float32)[0]
-        cam_full = np.asarray(
-            Image.fromarray(cam_small, mode="F").resize(
-                (image_u8.shape[1], image_u8.shape[0]),
-                Image.Resampling.BILINEAR,
+        heatmap_b64 = ""
+        heatmap_cam = None
+        heatmap_mime = "image/png"
+        if heatmap_format == "cam":
+            heatmap_cam = [[float(v) for v in row] for row in cam_small]
+        else:
+            cam_full = np.asarray(
+                Image.fromarray(cam_small, mode="F").resize(
+                    (image_u8.shape[1], image_u8.shape[0]),
+                    Image.Resampling.BILINEAR,
+                )
             )
-        )
-        overlay = overlay_heatmap(image_u8, cam_full)
-        buf = io.BytesIO()
-        Image.fromarray(overlay).save(buf, format="PNG", compress_level=1)
-        heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
+            overlay = overlay_heatmap(image_u8, cam_full)
+            buf = io.BytesIO()
+            if heatmap_format == "jpeg":
+                Image.fromarray(overlay).save(buf, format="JPEG", quality=85)
+                heatmap_mime = "image/jpeg"
+            else:
+                Image.fromarray(overlay).save(
+                    buf, format="PNG", compress_level=1
+                )
+            heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
 
         contrib = modality_contributions(np.asarray(attr), self.dims)
         clin_pct = float(contrib["Clinical_%"][0])
@@ -640,7 +662,7 @@ class ServingPipeline:
         with self._stats_lock:
             self._n_requests += 1
             self._latency_sum += time.perf_counter() - _t0
-        return {
+        resp = {
             "label": label,
             "probability": float(probs[pred]),
             "ecg_signal": [
@@ -650,6 +672,11 @@ class ServingPipeline:
             "feature_importance": feature_importance,
             "gpt_result": gpt_result,
         }
+        if heatmap_format == "jpeg":
+            resp["heatmap_mime"] = heatmap_mime
+        if heatmap_cam is not None:
+            resp["heatmap_cam"] = heatmap_cam
+        return resp
 
 
 def make_handler(pipeline: ServingPipeline):
@@ -702,7 +729,11 @@ def make_handler(pipeline: ServingPipeline):
                 questionnaire = json.loads(
                     fields.get("questionnaire", b"{}").decode()
                 )
-                result = pipeline.predict(img, questionnaire)
+                fmt = fields.get("heatmap_format", b"png").decode()
+                if fmt not in ("png", "jpeg", "cam"):
+                    fmt = "png"
+                result = pipeline.predict(img, questionnaire,
+                                          heatmap_format=fmt)
                 payload = json.dumps(result).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

@@ -126,16 +126,12 @@ def rule_based_report(
     }
 
 
-def openai_report(
+def _chat_messages(
     overlay_png_b64: str, abnormal: bool, probability: float,
-    age: Optional[float] = None, sex: Optional[str] = None,
-    model: str = "gpt-4o",
-) -> Dict[str, str]:
-    """GPT-4o-vision path (gpt_analysis.py:7-135). Raises ImportError when
-    the openai package is unavailable — callers fall back to
-    rule_based_report."""
-    import openai  # gated: not in this image
-
+    age: Optional[float], sex: Optional[str],
+) -> list:
+    """The reference's GPT-4o-vision message shape (gpt_analysis.py:
+    90-127): system persona + text prompt + data-URL image."""
     system_prompt = (
         "당신은 심장내과 전문의입니다. 환자의 lead-II 심전도와 Grad-CAM "
         "관심영역 오버레이를 보고, 각 항목을 '### [항목]' 형식의 한국어 "
@@ -147,23 +143,56 @@ def openai_report(
         "### [RR 간격]\n### [QRS 파형]\n### [T파]\n### [P파]\n"
         "### [임상 권고]\n의 형식으로 작성하십시오."
     )
-    response = openai.ChatCompletion.create(
-        model=model,
-        messages=[
-            {"role": "system", "content": system_prompt},
-            {
-                "role": "user",
-                "content": [
-                    {"type": "text", "text": user_prompt},
-                    {
-                        "type": "image_url",
-                        "image_url": {
-                            "url": f"data:image/png;base64,{overlay_png_b64}"
-                        },
+    return [
+        {"role": "system", "content": system_prompt},
+        {
+            "role": "user",
+            "content": [
+                {"type": "text", "text": user_prompt},
+                {
+                    "type": "image_url",
+                    "image_url": {
+                        "url": f"data:image/png;base64,{overlay_png_b64}"
                     },
-                ],
-            },
-        ],
-        max_tokens=2048,
-    )
-    return parse_sections(response["choices"][0]["message"]["content"])
+                },
+            ],
+        },
+    ]
+
+
+def openai_report(
+    overlay_png_b64: str, abnormal: bool, probability: float,
+    age: Optional[float] = None, sex: Optional[str] = None,
+    model: str = "gpt-4o", client=None,
+) -> Dict[str, str]:
+    """GPT-4o-vision path (gpt_analysis.py:7-135). Raises ImportError when
+    the openai package is unavailable — callers fall back to
+    rule_based_report.
+
+    Supports BOTH SDK generations, selected at runtime:
+      * openai<1.0 — module-level `openai.ChatCompletion.create` (the
+        exact call shape the reference uses, gpt_analysis.py:112);
+      * openai>=1.0 — `OpenAI().chat.completions.create` (the v0 surface
+        was removed from the SDK; without this branch the live path could
+        never run against a current install).
+    `client` injects a pre-built client/module (also how the offline
+    tests fake both SDKs without network)."""
+    if client is None:
+        import openai  # gated: not in this image
+
+        client = openai
+    messages = _chat_messages(overlay_png_b64, abnormal, probability,
+                              age, sex)
+    if hasattr(client, "ChatCompletion"):  # openai<1.0 module
+        response = client.ChatCompletion.create(
+            model=model, messages=messages, max_tokens=2048,
+        )
+        content = response["choices"][0]["message"]["content"]
+    else:
+        if hasattr(client, "OpenAI"):  # openai>=1.0 module → build client
+            client = client.OpenAI()
+        response = client.chat.completions.create(
+            model=model, messages=messages, max_tokens=2048,
+        )
+        content = response.choices[0].message.content
+    return parse_sections(content)

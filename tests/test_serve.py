@@ -49,6 +49,64 @@ def test_parse_sections_regex():
     assert out["임상 권고"] == "rec"
 
 
+_GPT_TEXT = (
+    "### [RR 간격]\nrr 소견\n### [QRS 파형]\nqrs 소견\n### [T파]\nt 소견\n"
+    "### [P파]\np 소견\n### [임상 권고]\n권고\n"
+)
+
+
+def test_openai_report_v0_sdk_branch():
+    """openai<1.0 fake module: the reference-parity ChatCompletion.create
+    call shape (gpt_analysis.py:112), no network."""
+    from types import SimpleNamespace
+
+    seen = {}
+
+    class ChatCompletion:
+        @staticmethod
+        def create(model, messages, max_tokens):
+            seen.update(model=model, messages=messages)
+            return {"choices": [{"message": {"content": _GPT_TEXT}}]}
+
+    fake = SimpleNamespace(ChatCompletion=ChatCompletion)
+    out = report.openai_report(
+        "b64png", abnormal=True, probability=0.9, age=70, client=fake,
+    )
+    assert out["RR 간격"] == "rr 소견"
+    assert seen["model"] == "gpt-4o"
+    # message shape: system + user(text, data-url image)
+    assert seen["messages"][0]["role"] == "system"
+    parts = seen["messages"][1]["content"]
+    assert parts[1]["image_url"]["url"].startswith("data:image/png;base64,")
+
+
+def test_openai_report_v1_sdk_branch():
+    """openai>=1.0 fake module: OpenAI() client with
+    chat.completions.create returning attribute-style response."""
+    from types import SimpleNamespace
+
+    seen = {}
+
+    class _Completions:
+        def create(self, model, messages, max_tokens):
+            seen.update(model=model, n_msg=len(messages))
+            msg = SimpleNamespace(content=_GPT_TEXT)
+            return SimpleNamespace(
+                choices=[SimpleNamespace(message=msg)]
+            )
+
+    class _Client:
+        def __init__(self):
+            self.chat = SimpleNamespace(completions=_Completions())
+
+    fake_module = SimpleNamespace(OpenAI=_Client)
+    out = report.openai_report(
+        "b64png", abnormal=False, probability=0.2, client=fake_module,
+    )
+    assert set(out) == set(report.SECTIONS)
+    assert seen == {"model": "gpt-4o", "n_msg": 2}
+
+
 def test_signal_features_hr():
     fs = 250.0
     t = np.arange(2476) / fs
@@ -118,6 +176,42 @@ def test_http_endpoint_full_contract(server):
     assert set(fi) == {"image", "signal", "age", "wt"}
     assert abs(sum(fi.values()) - 100.0) < 1.0
     assert set(data["gpt_result"]) == set(report.SECTIONS)
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "cam"])
+def test_http_endpoint_heatmap_format_opt_in(server, fmt):
+    """heatmap_format multipart field: "jpeg" swaps the overlay encode to
+    JPEG (heatmap_mime added), "cam" skips the overlay entirely and
+    returns the raw low-res Grad-CAM grid (VERDICT r2 #6 — the PNG encode
+    was the largest host cost of a warm request)."""
+    from PIL import Image
+
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="JPEG")
+    body, ctype = _multipart(
+        {
+            "file": ("photo.jpg", buf.getvalue()),
+            "questionnaire": (None, json.dumps({"age": 60}).encode()),
+            "heatmap_format": (None, fmt.encode()),
+        }
+    )
+    req = urllib.request.Request(
+        server + ENDPOINT, data=body,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        data = json.loads(resp.read())
+    assert data["label"] in ("Normal", "Abnormal")
+    if fmt == "jpeg":
+        assert data["heatmap_mime"] == "image/jpeg"
+        jpg = base64.b64decode(data["heatmap"])
+        assert jpg[:3] == b"\xff\xd8\xff"
+    else:
+        assert data["heatmap"] == ""
+        cam = np.asarray(data["heatmap_cam"], np.float32)
+        assert cam.ndim == 2 and cam.size > 0
+        assert np.isfinite(cam).all()
 
 
 def test_web_client_page(server):
