@@ -1,11 +1,14 @@
 /**
  * Result screen: ECG waveform (with Grad-CAM heatmap underlay toggle),
- * diagnosis summary, 4-slice feature-importance pie (image/signal/age/wt)
- * and the five-section clinical report — the response contract of
- * ecgmm_tpu/serve/api.py.
+ * diagnosis summary, 4-slice feature-importance pie (image/signal/age/wt),
+ * the five-section clinical report — the response contract of
+ * ecgmm_tpu/serve/api.py — and result capture/share: screenshot the
+ * result view, save it to the ECG_Results media album, open the share
+ * sheet (reference Groove/app/(tabs)/ResultScreen.tsx:67-91).
  */
-import React, { useMemo, useState } from 'react'
+import React, { useMemo, useRef, useState } from 'react'
 import {
+  Alert,
   Dimensions,
   ScrollView,
   StyleSheet,
@@ -13,6 +16,9 @@ import {
   TouchableOpacity,
   View,
 } from 'react-native'
+import { captureRef } from 'react-native-view-shot'
+import * as MediaLibrary from 'expo-media-library'
+import * as Sharing from 'expo-sharing'
 import { EcgChart, ImportancePie } from '../components/Charts'
 import type { AnalysisResult } from '../lib/api'
 import { getResult } from '../lib/resultStore'
@@ -24,13 +30,35 @@ export default function ResultScreen() {
   )
   const [showHeatmap, setShowHeatmap] = useState(false)
   const screenWidth = Dimensions.get('window').width
+  const viewRef = useRef<ScrollView>(null)
 
   const voltages = (data.ecg_signal ?? []).map((p) => p['Voltage (mV)'])
   const fi = data.feature_importance ?? { image: 0, signal: 0, age: 0, wt: 0 }
   const abnormal = data.label === 'Abnormal'
 
+  // Capture the result view → save to the ECG_Results media album →
+  // open the share sheet (reference ResultScreen.tsx:67-91).
+  const handleCapture = async () => {
+    try {
+      const uri = await captureRef(viewRef, { format: 'png', quality: 1 })
+      const permission = await MediaLibrary.requestPermissionsAsync()
+      if (permission.granted) {
+        const asset = await MediaLibrary.createAssetAsync(uri)
+        await MediaLibrary.createAlbumAsync('ECG_Results', asset, false)
+        Alert.alert('✅ 이미지가 저장되었습니다!')
+      } else {
+        Alert.alert('❌ 저장 권한이 필요합니다.')
+      }
+      if (await Sharing.isAvailableAsync()) {
+        await Sharing.shareAsync(uri)
+      }
+    } catch (err) {
+      console.error('이미지 저장 실패:', err)
+    }
+  }
+
   return (
-    <ScrollView contentContainerStyle={styles.page}>
+    <ScrollView ref={viewRef} contentContainerStyle={styles.page}>
       <View style={styles.card}>
         <Text style={styles.cardTitle}>📊 ECG 파형</Text>
         <EcgChart
@@ -85,6 +113,10 @@ export default function ResultScreen() {
           <Text style={styles.body}>해석 없음</Text>
         )}
       </View>
+
+      <TouchableOpacity style={styles.captureButton} onPress={handleCapture}>
+        <Text style={styles.captureText}>📸 결과 저장 / 공유</Text>
+      </TouchableOpacity>
     </ScrollView>
   )
 }
@@ -121,4 +153,12 @@ const styles = StyleSheet.create({
     marginTop: 8,
   },
   sectionTitle: { fontWeight: '700', marginBottom: 2 },
+  captureButton: {
+    backgroundColor: '#2563eb',
+    borderRadius: 10,
+    paddingVertical: 12,
+    alignItems: 'center',
+    marginTop: 4,
+  },
+  captureText: { color: '#fff', fontSize: 15, fontWeight: '700' },
 })
