@@ -298,6 +298,30 @@ def test_tabnet_shared_fc_aliases_consistent():
     assert "shared_fc_1" in variables["params"]
 
 
+def test_tabnet_pth_file_roundtrip(tmp_path):
+    """End-to-end file ingestion: torch.save a TabNet state dict →
+    load_torch_state_dict → convert_tabnet → identical eval logits."""
+    import torch
+
+    torch.manual_seed(5)
+    tmodel = _torch_tabnet(7, 12)
+    tmodel.eval()
+    path = str(tmp_path / "tabnet.pth")
+    torch.save(tmodel.state_dict(), path)
+
+    variables = convert_pth.convert_tabnet(
+        convert_pth.load_torch_state_dict(path)
+    )
+    fmodel = TabNetEncoder(out_dim=12)
+    x = np.random.default_rng(5).normal(size=(4, 7)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tmodel(torch.from_numpy(x))
+    got, _ = fmodel.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=0, atol=2e-4
+    )
+
+
 def test_tabnet_wrapper_prefix_ingestion():
     """Reference ClinicalTabNetEncoder checkpoints prefix every key with
     `tabnet.` (multimodal.py:114-123 state_dict of the wrapper); the
