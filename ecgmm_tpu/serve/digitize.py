@@ -30,29 +30,46 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _local_max(brightness: np.ndarray, w: int) -> np.ndarray:
+    """Per-pixel maximum over the pixel's w×w tile (block max, upsampled
+    back). Pure vectorized numpy — ~10× cheaper than a true sliding
+    maximum filter at these strip sizes, and the paper background only
+    needs to be a local upper envelope, not exact: any w×w tile of a
+    strip photo contains paper because the trace is only ~3 px thick."""
+    h, wid = brightness.shape
+    ph, pw = (-h) % w, (-wid) % w
+    padded = np.pad(brightness, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = padded.shape[0] // w, padded.shape[1] // w
+    blocks = padded.reshape(hb, w, wb, w).max(axis=(1, 3))
+    up = np.repeat(np.repeat(blocks, w, 0), w, 1)
+    return up[:h, :wid]
+
+
 def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     """Relative ink-darkness in [0, 1] from an RGB uint8 photo.
 
     brightness = max over channels: paper is bright in all channels, the
     light-red grid stays bright in R, the trace is dark in all — so the
     grid is suppressed without any explicit color segmentation. Darkness
-    is then measured relative to the *local* paper brightness — a
-    separable maximum filter (`bg_window` px; the trace is only ~3 px
-    thick, so the window always sees paper) — which keeps shadows,
+    is then measured relative to the *local* paper brightness (a
+    block-max upper envelope over `bg_window` px tiles; the trace is
+    only ~3 px thick, so every tile sees paper) — which keeps shadows,
     lighting gradients and bright photo margins from shifting the ink
-    threshold anywhere in the frame."""
-    rgb = np.asarray(image, np.float32)
-    if rgb.ndim == 2:  # already grayscale
-        brightness = rgb
+    threshold anywhere in the frame. The channel max runs on uint8 via
+    pairwise np.maximum (a float conversion or an axis-reduce over the
+    interleaved RGB layout each cost more than everything else in the
+    digitizer combined)."""
+    raw = np.asarray(image)
+    if raw.ndim == 2:  # already grayscale
+        bright_u8 = raw
     else:
-        brightness = rgb.max(axis=-1)
-    from scipy import ndimage
-
-    paper = ndimage.maximum_filter(
-        brightness, size=(bg_window, bg_window), mode="nearest"
+        bright_u8 = np.maximum(
+            np.maximum(raw[..., 0], raw[..., 1]), raw[..., 2]
+        )
+    paper = np.maximum(
+        _local_max(bright_u8, bg_window).astype(np.float32), 1.0
     )
-    paper = np.maximum(paper, 1.0)
-    rel = (paper - brightness) / paper
+    rel = (paper - bright_u8.astype(np.float32)) / paper
     return np.clip(rel, 0.0, 1.0)
 
 
