@@ -77,6 +77,29 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
     return fields
 
 
+def encode_multipart(
+    fields: Dict[str, Tuple[Optional[str], bytes]],
+    boundary: str = "ecgmmboundary42",
+) -> Tuple[bytes, str]:
+    """Inverse of parse_multipart: {name: (filename|None, content)} →
+    (body, Content-Type). The single encoder shared by the client tools
+    and the HTTP tests, so both stay in sync with the parser."""
+    lines = []
+    for name, (filename, content) in fields.items():
+        lines.append(f"--{boundary}".encode())
+        disp = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        lines.append(disp.encode())
+        lines.append(b"")
+        lines.append(content)
+    lines.append(f"--{boundary}--".encode())
+    return (
+        b"\r\n".join(lines),
+        f"multipart/form-data; boundary={boundary}",
+    )
+
+
 def _pack_outputs(outs, batched: bool):
     """Flatten+cast the request program's output tuple into one f32 array
     (per row when batched) — the device side of the packed wire format
@@ -619,7 +642,7 @@ class ServingPipeline:
         heatmap_cam = None
         heatmap_mime = "image/png"
         if heatmap_format == "cam":
-            heatmap_cam = [[float(v) for v in row] for row in cam_small]
+            heatmap_cam = cam_small.tolist()
         else:
             cam_full = np.asarray(
                 Image.fromarray(cam_small, mode="F").resize(

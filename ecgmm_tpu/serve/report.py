@@ -183,16 +183,19 @@ def openai_report(
         client = openai
     messages = _chat_messages(overlay_png_b64, abnormal, probability,
                               age, sex)
-    if hasattr(client, "ChatCompletion"):  # openai<1.0 module
-        response = client.ChatCompletion.create(
-            model=model, messages=messages, max_tokens=2048,
-        )
-        content = response["choices"][0]["message"]["content"]
-    else:
-        if hasattr(client, "OpenAI"):  # openai>=1.0 module → build client
-            client = client.OpenAI()
+    # v1 FIRST: real openai>=1.0 modules still expose a module-level
+    # ChatCompletion (a migration-error proxy that raises on .create), so
+    # its presence must not select the legacy branch.
+    if hasattr(client, "OpenAI"):  # openai>=1.0 module → build client
+        client = client.OpenAI()
+    if hasattr(client, "chat"):  # openai>=1.0 client (built or injected)
         response = client.chat.completions.create(
             model=model, messages=messages, max_tokens=2048,
         )
         content = response.choices[0].message.content
+    else:  # openai<1.0 module (the reference's call shape)
+        response = client.ChatCompletion.create(
+            model=model, messages=messages, max_tokens=2048,
+        )
+        content = response["choices"][0]["message"]["content"]
     return parse_sections(content)

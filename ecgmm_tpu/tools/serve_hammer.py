@@ -23,15 +23,14 @@ from typing import List
 
 
 def _request_body(heatmap_format: str):
-    import numpy as np
     from PIL import Image
 
     from ecgmm_tpu.data import synthetic
+    from ecgmm_tpu.serve.api import encode_multipart
 
     cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
     buf = io.BytesIO()
     Image.fromarray(cohort.images[0]).save(buf, format="JPEG")
-    boundary = "hammerboundary42"
     fields = {
         "file": ("photo.jpg", buf.getvalue()),
         "questionnaire": (
@@ -40,20 +39,7 @@ def _request_body(heatmap_format: str):
     }
     if heatmap_format != "png":
         fields["heatmap_format"] = (None, heatmap_format.encode())
-    lines: List[bytes] = []
-    for name, (filename, content) in fields.items():
-        lines.append(f"--{boundary}".encode())
-        disp = f'Content-Disposition: form-data; name="{name}"'
-        if filename:
-            disp += f'; filename="{filename}"'
-        lines.append(disp.encode())
-        lines.append(b"")
-        lines.append(content)
-    lines.append(f"--{boundary}--".encode())
-    return (
-        b"\r\n".join(lines),
-        f"multipart/form-data; boundary={boundary}",
-    )
+    return encode_multipart(fields)
 
 
 def hammer(url: str, clients: int, seconds: float,

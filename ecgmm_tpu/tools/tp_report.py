@@ -33,11 +33,13 @@ _COLLECTIVES = (
     "all-to-all",
 )
 
-# e.g.  %ag = f32[8,256,512]{2,1,0} all-gather(...)
-_OP_RE = re.compile(
-    r"=\s*(?:\()?([a-z0-9]+)\[([0-9,]*)\][^=]*?\b("
-    + "|".join(_COLLECTIVES) + r")\("
+# e.g.  %ag = f32[8,256,512]{2,1,0} all-gather(...)        (sync)
+#       %v  = (f32[8,128]{1,0}, f32[8,512]{1,0}) all-gather(%a, %b)
+#       %d  = f32[8,256]{1,0} all-gather-done(%s)           (async)
+_LINE_RE = re.compile(
+    r"=\s*(.*?)\s*\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\("
 )
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 
 def _shape_bytes(dtype: str, dims: str) -> int:
@@ -49,14 +51,22 @@ def _shape_bytes(dtype: str, dims: str) -> int:
 
 
 def collective_volume(hlo_text: str) -> Dict[str, Tuple[int, int]]:
-    """{collective op: (count, total output bytes)} over an optimized HLO
-    module text. Tuple-shaped collectives are counted per tuple element
-    (each line of a tuple output carries its own shape in the text)."""
+    """{collective op: (count, total result bytes)} over an optimized HLO
+    module text. Variadic (tuple-shaped) collectives sum every tuple
+    element's shape. Async pairs count once via the `-done` op (whose
+    result shape is the gathered output); `-start` ops are skipped so a
+    pair isn't double-counted."""
     out: Dict[str, Tuple[int, int]] = {}
-    for m in _OP_RE.finditer(hlo_text):
-        dtype, dims, op = m.groups()
-        cnt, byt = out.get(op, (0, 0))
-        out[op] = (cnt + 1, byt + _shape_bytes(dtype, dims))
+    for m in _LINE_RE.finditer(hlo_text):
+        lhs, op, suffix = m.groups()
+        if suffix == "-start":
+            continue
+        byt = sum(
+            _shape_bytes(dtype, dims)
+            for dtype, dims in _SHAPE_RE.findall(lhs)
+        )
+        cnt, tot = out.get(op, (0, 0))
+        out[op] = (cnt + 1, tot + byt)
     return out
 
 

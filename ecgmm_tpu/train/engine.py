@@ -37,6 +37,14 @@ from ecgmm_tpu.train import optim as optim_lib
 from ecgmm_tpu.train.checkpoint import CheckpointManager
 from ecgmm_tpu.train.logging import MetricWriter
 from ecgmm_tpu.train.state import TrainState
+
+# Streamed loops dispatch without per-batch host syncs (a sync per batch
+# costs a relay round trip), but unbounded dispatch would pin every
+# device_put batch until its step runs — re-accumulating the very split
+# the HBM budget demoted to host RAM. Blocking on the metric scalar from
+# this many batches back bounds in-flight inputs to WINDOW × batch bytes
+# while amortizing the sync cost 1/WINDOW.
+_STREAM_SYNC_WINDOW = 8
 from ecgmm_tpu.utils.tree import merge_params
 
 
@@ -425,6 +433,10 @@ def fit(
                 state, mets = stream_step(state, batch)
                 step_mets.append(mets)
                 n_batches += 1
+                if n_batches > _STREAM_SYNC_WINDOW:
+                    jax.block_until_ready(
+                        step_mets[-_STREAM_SYNC_WINDOW - 1]["loss"]
+                    )
             tm = {
                 "loss_sum": jnp.sum(
                     jnp.stack([m["loss"] for m in step_mets])
@@ -454,10 +466,11 @@ def fit(
         last_mets: Dict[str, Any] = tm
 
         if val_streamed and val_arrays.n > 0:
-            # Dispatch the whole epoch first, holding only device refs —
-            # a float()/np.asarray() inside the loop would block on a
-            # ~25 ms relay round trip per batch and serialize the
-            # host→device prefetch pipeline.
+            # Dispatch ahead, holding only device refs — a
+            # float()/np.asarray() on every batch would block on a
+            # ~25 ms relay round trip each and serialize the
+            # host→device prefetch pipeline; the windowed sync below
+            # bounds in-flight batches instead.
             outs, masks_d, labels_d = [], [], []
             for batch in prefetch_batches(
                 val_arrays, cfg.eval_bs, shuffle=False, seed=0, epoch=0,
@@ -466,6 +479,10 @@ def fit(
                 outs.append(stream_eval_step(state, batch))
                 masks_d.append(batch.mask)
                 labels_d.append(batch.labels)
+                if len(outs) > _STREAM_SYNC_WINDOW:
+                    jax.block_until_ready(
+                        outs[-_STREAM_SYNC_WINDOW - 1]["loss"]
+                    )
             # one sync at epoch end: the first conversion waits for the
             # queued work, the rest are transfers of finished results
             losses_l, logits_l, labels_l = [], [], []

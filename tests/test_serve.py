@@ -99,7 +99,15 @@ def test_openai_report_v1_sdk_branch():
         def __init__(self):
             self.chat = SimpleNamespace(completions=_Completions())
 
-    fake_module = SimpleNamespace(OpenAI=_Client)
+    # like the REAL openai>=1.0 module: OpenAI factory PLUS a leftover
+    # module-level ChatCompletion proxy whose .create raises — the v1
+    # branch must win or the live path explodes on current installs
+    class _RemovedProxy:
+        @staticmethod
+        def create(**kw):
+            raise RuntimeError("APIRemovedInV1")
+
+    fake_module = SimpleNamespace(OpenAI=_Client, ChatCompletion=_RemovedProxy)
     out = report.openai_report(
         "b64png", abnormal=False, probability=0.2, client=fake_module,
     )
@@ -128,19 +136,9 @@ def server(demo_pipeline):
 
 
 def _multipart(fields):
-    boundary = "testboundary123"
-    lines = []
-    for name, (filename, content) in fields.items():
-        lines.append(f"--{boundary}".encode())
-        disp = f'Content-Disposition: form-data; name="{name}"'
-        if filename:
-            disp += f'; filename="{filename}"'
-        lines.append(disp.encode())
-        lines.append(b"")
-        lines.append(content)
-    lines.append(f"--{boundary}--".encode())
-    body = b"\r\n".join(lines)
-    return body, f"multipart/form-data; boundary={boundary}"
+    from ecgmm_tpu.serve.api import encode_multipart
+
+    return encode_multipart(fields, boundary="testboundary123")
 
 
 def test_http_endpoint_full_contract(server):

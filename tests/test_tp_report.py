@@ -30,5 +30,30 @@ def test_collective_volume_counts_and_bytes():
     assert "dot" not in vol
 
 
+def test_collective_volume_variadic_tuple():
+    """GSPMD routinely fuses several operands into one variadic
+    collective — every tuple element's bytes must count."""
+    hlo = ("%v = (f32[8,128]{1,0}, f32[8,512]{1,0}) "
+           "all-gather(%a, %b), dimensions={0}")
+    cnt, byt = collective_volume(hlo)["all-gather"]
+    assert cnt == 1
+    assert byt == (8 * 128 + 8 * 512) * 4
+
+
+def test_collective_volume_async_pairs_count_once():
+    """Async collectives appear as -start/-done pairs; the result bytes
+    come from the -done, and the pair counts once."""
+    hlo = """
+  %s = (f32[8,64]{1,0}, f32[8,256]{1,0}) all-gather-start(%a)
+  %d = f32[8,256]{1,0} all-gather-done(%s)
+  %rs = bf16[32]{0} reduce-scatter(%x), to_apply=%sum
+"""
+    vol = collective_volume(hlo)
+    cnt, byt = vol["all-gather"]
+    assert cnt == 1
+    assert byt == 8 * 256 * 4
+    assert vol["reduce-scatter"] == (1, 32 * 2)
+
+
 def test_collective_volume_empty():
     assert collective_volume("ENTRY %m { %r = f32[2]{0} add(%a,%b) }") == {}
