@@ -311,6 +311,67 @@ def convert_fusion_canonical(sd: Mapping[str, np.ndarray]
     return {"params": params, "batch_stats": stats}
 
 
+CONVERTERS = {
+    "resnet1d_se": convert_resnet1d_se,
+    "resnet18": convert_resnet18,
+    "clinical_mlp": convert_clinical_mlp,
+    "tabnet": convert_tabnet,
+    "fusion_modal_balance": convert_fusion_modal_balance,
+    "fusion_canonical": convert_fusion_canonical,
+}
+
+
+def _to_np(tree):
+    if isinstance(tree, Mapping):
+        return {k: _to_np(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def save_converted(variables: Mapping, path: str) -> None:
+    """Serialize a converted variable tree to msgpack (the framework's
+    interchange format for migrated checkpoints; no torch needed to load)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(_to_np(variables)))
+
+
+def load_converted(path: str) -> Dict:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def main(argv=None):
+    """CLI for reference-checkpoint migration:
+
+        python -m ecgmm_tpu.tools.convert_pth best.pth \
+            --arch tabnet --out tabnet.msgpack
+
+    Reads a torch .pth state dict, converts to this framework's Flax
+    variable tree, writes msgpack (load with
+    convert_pth.load_converted / flax msgpack_restore)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("pth", help="torch state-dict .pth file")
+    p.add_argument("--arch", required=True, choices=sorted(CONVERTERS))
+    p.add_argument("--out", required=True, help="output .msgpack path")
+    args = p.parse_args(argv)
+
+    sd = load_torch_state_dict(args.pth)
+    variables = CONVERTERS[args.arch](sd)
+    save_converted(variables, args.out)
+    flat = flatten_path_dict(variables)
+    n_params = sum(
+        int(np.prod(np.shape(v))) for k, v in flat.items()
+        if k.startswith("params/")
+    )
+    print(f"{args.arch}: {len(flat)} leaves, {n_params:,} params "
+          f"-> {args.out}")
+
+
 def load_partial(
     target_vars: Mapping, source_vars: Mapping,
     exclude_prefixes: Iterable[str] = (),
@@ -331,3 +392,7 @@ def load_partial(
             continue
         tgt[k] = np.asarray(v, dtype=np.asarray(tgt[k]).dtype)
     return unflatten_path_dict(tgt), skipped
+
+
+if __name__ == "__main__":
+    main()

@@ -322,6 +322,30 @@ def test_tabnet_pth_file_roundtrip(tmp_path):
     )
 
 
+def test_convert_pth_cli_roundtrip(tmp_path, capsys):
+    """The migration CLI: .pth → msgpack → identical variable tree."""
+    import torch
+
+    torch.manual_seed(6)
+    tmodel = _torch_tabnet(5, 8)
+    pth = str(tmp_path / "clinical.pth")
+    out = str(tmp_path / "clinical.msgpack")
+    torch.save(tmodel.state_dict(), pth)
+
+    convert_pth.main([pth, "--arch", "tabnet", "--out", out])
+    assert "tabnet:" in capsys.readouterr().out
+
+    restored = convert_pth.load_converted(out)
+    direct = convert_pth.convert_tabnet(
+        convert_pth.load_torch_state_dict(pth)
+    )
+    fa = convert_pth.flatten_path_dict(restored)
+    fb = convert_pth.flatten_path_dict(direct)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
+
+
 def test_tabnet_wrapper_prefix_ingestion():
     """Reference ClinicalTabNetEncoder checkpoints prefix every key with
     `tabnet.` (multimodal.py:114-123 state_dict of the wrapper); the
