@@ -136,12 +136,70 @@ def xai_report(
     return frames
 
 
+def gradcam_report(model, variables, arrays, out_dir: str,
+                   n_samples: int = 8) -> list:
+    """Grad-CAM overlays through the fusion image branch for the first
+    n_samples test strips → PNGs under out_dir/gradcam (the artifact the
+    reference ships images of but never the code for)."""
+    from PIL import Image
+
+    from ecgmm_tpu.explain.gradcam import (
+        grad_cam_fusion_image,
+        overlay_heatmap,
+    )
+
+    sub = os.path.join(out_dir, "gradcam")
+    os.makedirs(sub, exist_ok=True)
+    imgs_u8 = np.asarray(arrays.images[:n_samples])
+    cam, logits = grad_cam_fusion_image(
+        model, variables, normalize_images(jnp.asarray(imgs_u8)),
+    )
+    paths = []
+    for i in range(imgs_u8.shape[0]):
+        overlay = overlay_heatmap(imgs_u8[i], np.asarray(cam[i]))
+        pred = int(np.argmax(np.asarray(logits[i])))
+        path = os.path.join(
+            sub, f"sample{arrays.indices[i]}_class{pred}.png"
+        )
+        Image.fromarray(overlay).save(path)
+        paths.append(path)
+    print(f"gradcam: wrote {len(paths)} overlays to {sub}")
+    return paths
+
+
+def tabnet_masks_report(model, variables, arrays, out_dir: str) -> list:
+    """Per-step + aggregate TabNet mask heatmaps over the test split
+    (reference multimodal.py:196-240 artifact set). Requires the
+    canonical (TabNet-clinical) fusion variant."""
+    from ecgmm_tpu.explain.tabnet_masks import save_mask_heatmaps
+
+    enc = model.cfg  # canonical config guard
+    if enc.clinical_encoder != "tabnet":
+        raise ValueError("tabnet_masks needs the TabNet clinical variant")
+
+    def masks_fn(m, x):
+        return m.clinical_encoder(x, return_masks=True)
+
+    _, _, m_explain, masks = model.apply(
+        variables, jnp.asarray(arrays.clinical), method=masks_fn,
+    )
+    paths = save_mask_heatmaps(
+        np.asarray(m_explain), [np.asarray(m) for m in masks],
+        feature_names=("AGE", "Wt"),
+        save_dir=os.path.join(out_dir, "tabnet"),
+    )
+    print(f"tabnet_masks: wrote {len(paths)} heatmaps")
+    return paths
+
+
 def main(argv=None):
     from ecgmm_tpu.workloads.run import load_data
 
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--method", choices=["shap", "deep_shap", "lime"], default="shap"
+        "--method",
+        choices=["shap", "deep_shap", "lime", "gradcam", "tabnet_masks"],
+        default="shap",
     )
     p.add_argument("--n-synth", type=int, default=64)
     p.add_argument("--out-dir", default="./output")
@@ -161,10 +219,15 @@ def main(argv=None):
     )
     dims = (cfg.model.image_dim, cfg.model.signal_dim,
             cfg.model.clinical_dim)
-    xai_report(
-        model, variables, data.train, data.test, dims,
-        method=args.method, out_dir=args.out_dir,
-    )
+    if args.method == "gradcam":
+        gradcam_report(model, variables, data.test, args.out_dir)
+    elif args.method == "tabnet_masks":
+        tabnet_masks_report(model, variables, data.test, args.out_dir)
+    else:
+        xai_report(
+            model, variables, data.train, data.test, dims,
+            method=args.method, out_dir=args.out_dir,
+        )
 
 
 if __name__ == "__main__":

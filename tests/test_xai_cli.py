@@ -77,6 +77,43 @@ def test_xai_cli_writes_csvs(tmp_path):
             assert path.exists()
 
 
+def test_xai_cli_gradcam_and_tabnet_masks(tmp_path):
+    """Round-3 CLI additions: Grad-CAM overlays + TabNet mask heatmaps
+    from the same batch entry point as shap/lime."""
+    import dataclasses
+
+    from ecgmm_tpu.config import get_preset
+    from ecgmm_tpu.explain.run_xai import (
+        gradcam_report,
+        tabnet_masks_report,
+    )
+    from ecgmm_tpu.models import ECGMultimodalModel
+    from ecgmm_tpu.workloads.run import load_data
+
+    cfg = get_preset("fusion")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, dtype="float32"),
+        data=dataclasses.replace(cfg.data, img_height=32, img_width=32,
+                                 signal_len=256),
+    )
+    data = load_data(cfg, "synthetic", 24)
+    model = ECGMultimodalModel(cfg=cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)),
+        jnp.ones((1, 256)), jnp.ones((1, 2)),
+    )
+    paths = gradcam_report(model, variables, data.test, str(tmp_path),
+                           n_samples=2)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    mask_paths = tabnet_masks_report(model, variables, data.test,
+                                     str(tmp_path))
+    # 3 step masks + aggregate
+    assert len(mask_paths) == 4 and all(
+        os.path.exists(p) for p in mask_paths
+    )
+
+
 def test_onecycle_short_run_no_nan():
     """optax.cosine_onecycle_schedule NaNs when the warmup interval
     rounds to zero steps — make_optimizer must clamp (regression for the
