@@ -143,6 +143,13 @@ class TrainConfig:
     # encoders run in eval mode — see PARITY.md "Cached-embedding fusion
     # training" and train/embed.py). Requires freeze_encoders.
     cache_embeddings: bool = False
+    # Super-chunked streaming (over-HBM-budget splits only): stage this
+    # many planned batches per host→device transfer and run them through
+    # ONE scan dispatch — same batches/order as per-batch streaming, but
+    # the per-dispatch relay tax is paid once per chunk instead of once
+    # per batch. 0/1 = per-batch streaming. Choose so TWO chunks fit the
+    # HBM budget (one computing + one prefetched).
+    stream_chunk_batches: int = 0
 
     @property
     def eval_bs(self) -> int:

@@ -389,3 +389,77 @@ def prefetch_batches(
         if nxt < len(starts):
             queue.append(make(starts[nxt]))
         yield queue.popleft()
+
+
+def prefetch_chunks(
+    arrays: HostArrays,
+    idx_mat: np.ndarray,
+    mask_mat: np.ndarray,
+    chunk_batches: int,
+    mesh=None,
+):
+    """Super-chunked streaming: stage `chunk_batches` planned batches per
+    host→device transfer and yield (chunk Arrays, per-chunk idx matrix,
+    per-chunk mask matrix) — the engine runs each chunk through ONE
+    scan-epoch dispatch instead of `chunk_batches` per-batch dispatches
+    (each of which costs a full relay round trip on relayed backends).
+
+    (idx_mat, mask_mat) is the epoch plan from engine.epoch_indices, so
+    chunked, per-batch-streamed and device-resident training all see the
+    same batches in the same order. The chunk's device arrays contain
+    exactly its planned rows (host fancy-gather); the yielded index
+    matrix addresses rows WITHIN the chunk. At most two chunk shapes
+    compile: the full K-batch chunk and one shorter tail.
+
+    One chunk is prefetched ahead (device_put is async), so chunk i+1
+    uploads while chunk i computes; the engine bounds in-flight chunks by
+    syncing on the previous chunk's metrics."""
+    import collections as _c
+
+    from ecgmm_tpu.parallel import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    n_batches = idx_mat.shape[0]
+
+    def make(c0: int):
+        c1 = min(c0 + chunk_batches, n_batches)
+        flat = idx_mat[c0:c1].reshape(-1)
+
+        def put(a, dtype=None):
+            if a is None:
+                return None
+            out = a[flat]
+            if dtype is not None:
+                out = out.astype(dtype, copy=False)
+            dev = jnp.asarray(out)
+            return jax.device_put(dev, sharding) if sharding is not None \
+                else dev
+
+        k = c1 - c0
+        local_idx = np.arange(k * idx_mat.shape[1], dtype=np.int32)
+        chunk = Arrays(
+            images=put(arrays.images),
+            signals=put(arrays.signals, np.float32),
+            clinical=put(arrays.clinical, np.float32),
+            labels=put(arrays.labels, np.int32),
+            indices=np.asarray(arrays.indices)[
+                flat[np.asarray(mask_mat[c0:c1]).reshape(-1) > 0]
+            ],
+        )
+        idx_dev = jnp.asarray(local_idx.reshape(k, idx_mat.shape[1]))
+        mask_dev = jnp.asarray(mask_mat[c0:c1], jnp.float32)
+        if sharding is not None:
+            # the scan's per-batch gather is replicated planning data;
+            # only the chunk arrays carry the batch sharding
+            idx_dev = jax.device_put(idx_dev)
+            mask_dev = jax.device_put(mask_dev)
+        return chunk, idx_dev, mask_dev
+
+    starts = list(range(0, n_batches, chunk_batches))
+    queue: "_c.deque" = _c.deque()
+    for s in starts[:1]:
+        queue.append(make(s))
+    for i, _ in enumerate(starts):
+        if i + 1 < len(starts):
+            queue.append(make(starts[i + 1]))
+        yield queue.popleft()

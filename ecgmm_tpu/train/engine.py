@@ -151,6 +151,20 @@ def make_train_epoch(task: Task, tx: optax.GradientTransformation,
     The dataset arrays are jit ARGUMENTS, not closure constants — baking
     them into the executable would bloat (remote) compiles and the
     persistent cache by the dataset size."""
+    jitted = _make_epoch_program(task, tx, mesh=mesh, donate=donate)
+
+    def run(state, idx_mat, mask_mat):
+        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
+
+    return run
+
+
+def _make_epoch_program(task: Task, tx: optax.GradientTransformation,
+                        mesh=None, donate: bool = True):
+    """The jitted scan-over-batches program with the dataset as a jit
+    ARGUMENT: (state, data, idx_mat, mask_mat) → (state, epoch metrics).
+    Shared by the device-resident epoch (make_train_epoch) and the
+    super-chunked streaming path (fit over pipeline.prefetch_chunks)."""
     from ecgmm_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -176,12 +190,7 @@ def make_train_epoch(task: Task, tx: optax.GradientTransformation,
             out["var_loss"] = jnp.mean(mets["var_loss"])
         return state, out
 
-    jitted = jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
-
-    def run(state, idx_mat, mask_mat):
-        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
-
-    return run
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
 def _device_arrays(arrays: Arrays) -> Arrays:
@@ -191,6 +200,19 @@ def _device_arrays(arrays: Arrays) -> Arrays:
 
 def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
     """Whole-split jitted eval: scan over batches, stacked logits out."""
+    jitted = _make_eval_program(task, mesh=mesh)
+
+    def run(state, idx_mat, mask_mat):
+        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
+
+    return run
+
+
+def _make_eval_program(task: Task, mesh=None):
+    """The jitted scan-over-batches eval with the dataset as a jit
+    ARGUMENT: (state, data, idx_mat, mask_mat) → (losses, logits,
+    labels, scalar metrics), stacked per batch. Shared by the resident
+    eval epoch and the super-chunked streamed val path."""
     from ecgmm_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -216,12 +238,7 @@ def make_eval_epoch(task: Task, arrays: Arrays, mesh=None):
         )
         return losses, logits, labels, mets
 
-    jitted = jax.jit(epoch_fn)
-
-    def run(state, idx_mat, mask_mat):
-        return jitted(state, _device_arrays(arrays), idx_mat, mask_mat)
-
-    return run
+    return jax.jit(epoch_fn)
 
 
 def epoch_indices(
@@ -385,19 +402,34 @@ def fit(
     except ValueError:
         pass  # not the main thread — skip graceful-preemption hook
     # Splits over the HBM budget arrive as HostArrays and stream through
-    # the double-buffered prefetcher with a per-batch jitted step; device-
-    # resident splits use the one-dispatch scan-epoch program.
-    from ecgmm_tpu.data.pipeline import HostArrays, prefetch_batches
+    # the double-buffered prefetcher — per-batch jitted steps, or (with
+    # cfg.stream_chunk_batches > 1) super-chunks of K planned batches per
+    # device dispatch through the same scan-epoch program the resident
+    # path uses (cuts the per-dispatch relay tax ~K×). Device-resident
+    # splits use the one-dispatch scan-epoch program.
+    from ecgmm_tpu.data.pipeline import (
+        HostArrays,
+        prefetch_batches,
+        prefetch_chunks,
+    )
 
     train_streamed = isinstance(train_arrays, HostArrays)
     val_streamed = isinstance(val_arrays, HostArrays)
-    if train_streamed:
+    train_chunked = train_streamed and cfg.stream_chunk_batches > 1
+    val_chunked = val_streamed and cfg.stream_chunk_batches > 1
+    if train_chunked:
+        chunk_epoch = _make_epoch_program(
+            task, tx, mesh=mesh, donate=cfg.donate_state
+        )
+    elif train_streamed:
         stream_step = make_train_step(task, tx, donate=cfg.donate_state)
     else:
         train_epoch = make_train_epoch(
             task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
         )
-    if val_streamed:
+    if val_chunked:
+        chunk_eval = _make_eval_program(task, mesh=mesh)
+    elif val_streamed:
         stream_eval_step = make_eval_step(task)
     else:
         eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
@@ -412,6 +444,10 @@ def fit(
             val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
         )
         vidx, vmask = jnp.asarray(vidx), jnp.asarray(vmask)
+    elif val_chunked and val_arrays.n > 0:
+        vidx_h, vmask_h = epoch_indices(
+            val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
+        )
 
     history: List[Dict[str, float]] = []
     best_epoch = -1
@@ -420,7 +456,28 @@ def fit(
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
-        if train_streamed:
+        if train_chunked:
+            idx, mask = epoch_indices(
+                train_arrays.n, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                epoch=epoch, sample_weights=train_sample_weights,
+            )
+            n_batches = idx.shape[0]
+            chunk_mets: List[Dict[str, Any]] = []
+            for data_c, idx_c, mask_c in prefetch_chunks(
+                train_arrays, idx, mask, cfg.stream_chunk_batches,
+                mesh=mesh,
+            ):
+                state, tm_c = chunk_epoch(state, data_c, idx_c, mask_c)
+                chunk_mets.append(tm_c)
+                if len(chunk_mets) > 1:  # ≤2 chunks in flight (HBM bound)
+                    jax.block_until_ready(chunk_mets[-2]["loss_sum"])
+            tm = {
+                k: jnp.sum(jnp.stack([m[k] for m in chunk_mets]))
+                for k in ("loss_sum", "correct", "count")
+            }
+            if "soft_weights" in chunk_mets[-1]:
+                tm["soft_weights"] = chunk_mets[-1]["soft_weights"]
+        elif train_streamed:
             # per-batch dispatch with 2-deep host→device prefetch; metric
             # scalars stay on device until the end-of-epoch sync
             step_mets: List[Dict[str, Any]] = []
@@ -465,7 +522,44 @@ def fit(
         train_acc = float(tm["correct"]) / max(float(tm["count"]), 1.0)
         last_mets: Dict[str, Any] = tm
 
-        if val_streamed and val_arrays.n > 0:
+        if val_chunked and val_arrays.n > 0:
+            # Chunked streamed eval: K planned batches per scan dispatch,
+            # logits/losses come back as ONE stacked array per chunk —
+            # ~K× fewer dispatches AND ~K× fewer device→host fetches
+            # than the per-batch loop (each fetch is a relay round trip).
+            losses_l, logits_l, labels_l = [], [], []
+            extra_l = {}
+            for data_c, idx_c, mask_c in prefetch_chunks(
+                val_arrays, vidx_h, vmask_h, cfg.stream_chunk_batches,
+                mesh=mesh,
+            ):
+                vlosses, vlogits, vlabels, vmets = chunk_eval(
+                    state, data_c, idx_c, mask_c
+                )
+                keep = np.asarray(mask_c).reshape(-1) > 0
+                logits_l.append(
+                    np.asarray(vlogits).reshape(-1, vlogits.shape[-1])[keep]
+                )
+                labels_l.append(np.asarray(vlabels).reshape(-1)[keep])
+                losses_l.extend(np.asarray(vlosses).tolist())
+                for k, v in vmets.items():
+                    extra_l.setdefault(k, []).extend(
+                        np.asarray(v).reshape(-1).tolist()
+                    )
+            flat_logits = np.concatenate(logits_l)
+            flat_labels = np.concatenate(labels_l)
+            val = EvalResult(
+                loss=float(np.mean(losses_l)),
+                accuracy=float(
+                    (flat_logits.argmax(-1) == flat_labels).mean()
+                ),
+                logits=flat_logits,
+                labels=flat_labels,
+                metrics={
+                    k: float(np.mean(v)) for k, v in extra_l.items()
+                },
+            )
+        elif val_streamed and val_arrays.n > 0:
             # Dispatch ahead, holding only device refs — a
             # float()/np.asarray() on every batch would block on a
             # ~25 ms relay round trip each and serialize the

@@ -292,6 +292,25 @@ def run(cfg: Config, data: pipeline.MaterializedData,
             train=pipeline.fit_in_budget(data.train, budget),
             val=pipeline.fit_in_budget(data.val, budget),
         )
+        if (t.stream_chunk_batches == 0
+                and isinstance(data.train, pipeline.HostArrays)):
+            # auto super-chunk: the largest K whose TWO in-flight chunks
+            # (one computing, one prefetched) fit a third of the budget
+            # (slack for activations), ≥1 ⇒ per-batch streaming floor
+            batch_bytes = max(
+                1,
+                pipeline.split_nbytes(data.train)
+                // pipeline.num_batches(data.train.n, t.batch_size),
+            )
+            auto_k = max(1, budget // (3 * batch_bytes))
+            t = dataclasses.replace(
+                t, stream_chunk_batches=int(
+                    os.environ.get("ECGMM_STREAM_CHUNK_BATCHES", auto_k)
+                ),
+            )
+            if t.stream_chunk_batches > 1:
+                print(f"streaming in super-chunks of "
+                      f"{t.stream_chunk_batches} batches")
 
     # Cached-embedding fusion fast path: precompute the frozen encoders'
     # outputs once per split (one scan dispatch each) and train/evaluate
