@@ -147,8 +147,10 @@ class TrainConfig:
     # many planned batches per host→device transfer and run them through
     # ONE scan dispatch — same batches/order as per-batch streaming, but
     # the per-dispatch relay tax is paid once per chunk instead of once
-    # per batch. 0/1 = per-batch streaming. Choose so TWO chunks fit the
-    # HBM budget (one computing + one prefetched).
+    # per batch. 0/1 = per-batch streaming. Up to three chunks coexist
+    # on device (computing / dispatched / uploading) — choose K so three
+    # chunks fit comfortably inside the HBM budget (run.py's auto-sizer
+    # uses budget/6 per chunk).
     stream_chunk_batches: int = 0
 
     @property

@@ -324,6 +324,25 @@ def fit_in_budget(arrays: Arrays, hbm_budget_bytes: Optional[int]):
     return to_host_resident(arrays)
 
 
+def _row_uploader(sharding):
+    """Shared host-gather → dtype-cast → async device_put for the
+    streaming paths. Returns put(array, rows, dtype) so prefetch_batches
+    and prefetch_chunks apply identical conversions — the tested
+    bit-parity between the streaming modes depends on that."""
+
+    def put(a, rows, dtype=None):
+        if a is None:
+            return None
+        out = a[rows]
+        if dtype is not None:
+            out = out.astype(dtype, copy=False)
+        dev = jnp.asarray(out)
+        return jax.device_put(dev, sharding) if sharding is not None \
+            else dev
+
+    return put
+
+
 def prefetch_batches(
     arrays: HostArrays,
     batch_size: int,
@@ -355,25 +374,16 @@ def prefetch_batches(
             rng_host.shuffle(order)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
+    put = _row_uploader(sharding)
+
     def make(start: int) -> Batch:
         idx = order[start:start + batch_size]
         idx, mask = _pad_indices(idx, batch_size)  # static batch shape
-
-        def put(a, dtype=None):
-            if a is None:
-                return None
-            out = a[idx]
-            if dtype is not None:
-                out = out.astype(dtype, copy=False)
-            dev = jnp.asarray(out)
-            return jax.device_put(dev, sharding) if sharding is not None \
-                else dev
-
         return Batch(
-            images=put(arrays.images),
-            signals=put(arrays.signals, np.float32),
-            clinical=put(arrays.clinical, np.float32),
-            labels=put(arrays.labels, np.int32),
+            images=put(arrays.images, idx),
+            signals=put(arrays.signals, idx, np.float32),
+            clinical=put(arrays.clinical, idx, np.float32),
+            labels=put(arrays.labels, idx, np.int32),
             mask=(
                 jax.device_put(jnp.asarray(mask), sharding)
                 if sharding is not None else jnp.asarray(mask)
@@ -412,47 +422,39 @@ def prefetch_chunks(
     compile: the full K-batch chunk and one shorter tail.
 
     One chunk is prefetched ahead (device_put is async), so chunk i+1
-    uploads while chunk i computes; the engine bounds in-flight chunks by
-    syncing on the previous chunk's metrics."""
+    uploads while chunk i computes. Up to THREE chunks can coexist on
+    device (computing / dispatched behind it / uploading) — the engine
+    bounds the queue by syncing on the previous chunk's metrics, and
+    run.py's auto-K sizes chunks so the 3-deep transient stays within
+    half the HBM budget."""
     import collections as _c
 
     from ecgmm_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     n_batches = idx_mat.shape[0]
+    put = _row_uploader(sharding)
 
     def make(c0: int):
         c1 = min(c0 + chunk_batches, n_batches)
         flat = idx_mat[c0:c1].reshape(-1)
-
-        def put(a, dtype=None):
-            if a is None:
-                return None
-            out = a[flat]
-            if dtype is not None:
-                out = out.astype(dtype, copy=False)
-            dev = jnp.asarray(out)
-            return jax.device_put(dev, sharding) if sharding is not None \
-                else dev
-
         k = c1 - c0
         local_idx = np.arange(k * idx_mat.shape[1], dtype=np.int32)
         chunk = Arrays(
-            images=put(arrays.images),
-            signals=put(arrays.signals, np.float32),
-            clinical=put(arrays.clinical, np.float32),
-            labels=put(arrays.labels, np.int32),
+            images=put(arrays.images, flat),
+            signals=put(arrays.signals, flat, np.float32),
+            clinical=put(arrays.clinical, flat, np.float32),
+            labels=put(arrays.labels, flat, np.int32),
+            # host-only bookkeeping; the engine strips it before jit
             indices=np.asarray(arrays.indices)[
                 flat[np.asarray(mask_mat[c0:c1]).reshape(-1) > 0]
             ],
         )
+        # The per-chunk plan (in-chunk gather indices + batch masks) is
+        # small planning data; jit/GSPMD replicates it at the program
+        # boundary — no explicit sharding needed.
         idx_dev = jnp.asarray(local_idx.reshape(k, idx_mat.shape[1]))
         mask_dev = jnp.asarray(mask_mat[c0:c1], jnp.float32)
-        if sharding is not None:
-            # the scan's per-batch gather is replicated planning data;
-            # only the chunk arrays carry the batch sharding
-            idx_dev = jax.device_put(idx_dev)
-            mask_dev = jax.device_put(mask_dev)
         return chunk, idx_dev, mask_dev
 
     starts = list(range(0, n_batches, chunk_batches))

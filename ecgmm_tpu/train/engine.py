@@ -467,16 +467,29 @@ def fit(
                 train_arrays, idx, mask, cfg.stream_chunk_batches,
                 mesh=mesh,
             ):
-                state, tm_c = chunk_epoch(state, data_c, idx_c, mask_c)
+                state, tm_c = chunk_epoch(
+                    state, _device_arrays(data_c), idx_c, mask_c
+                )
                 chunk_mets.append(tm_c)
-                if len(chunk_mets) > 1:  # ≤2 chunks in flight (HBM bound)
+                # Bound the pipeline: up to THREE chunks coexist on
+                # device (one computing, one dispatched behind it, one
+                # uploading from the generator) — run.py's auto-K sizes
+                # each chunk at ≤ budget/6 so the transient stays ≤ half
+                # the HBM budget.
+                if len(chunk_mets) > 1:
                     jax.block_until_ready(chunk_mets[-2]["loss_sum"])
-            tm = {
-                k: jnp.sum(jnp.stack([m[k] for m in chunk_mets]))
-                for k in ("loss_sum", "correct", "count")
-            }
-            if "soft_weights" in chunk_mets[-1]:
-                tm["soft_weights"] = chunk_mets[-1]["soft_weights"]
+            if chunk_mets:
+                tm = {
+                    k: jnp.sum(jnp.stack([m[k] for m in chunk_mets]))
+                    for k in ("loss_sum", "correct", "count")
+                }
+                if "soft_weights" in chunk_mets[-1]:
+                    tm["soft_weights"] = chunk_mets[-1]["soft_weights"]
+            else:  # empty split — mirror the resident path's zero metrics
+                tm = {
+                    k: jnp.zeros(())
+                    for k in ("loss_sum", "correct", "count")
+                }
         elif train_streamed:
             # per-batch dispatch with 2-deep host→device prefetch; metric
             # scalars stay on device until the end-of-epoch sync
@@ -534,7 +547,7 @@ def fit(
                 mesh=mesh,
             ):
                 vlosses, vlogits, vlabels, vmets = chunk_eval(
-                    state, data_c, idx_c, mask_c
+                    state, _device_arrays(data_c), idx_c, mask_c
                 )
                 keep = np.asarray(mask_c).reshape(-1) > 0
                 logits_l.append(

@@ -294,21 +294,23 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         )
         if (t.stream_chunk_batches == 0
                 and isinstance(data.train, pipeline.HostArrays)):
-            # auto super-chunk: the largest K whose TWO in-flight chunks
-            # (one computing, one prefetched) fit a third of the budget
-            # (slack for activations), ≥1 ⇒ per-batch streaming floor
+            # auto super-chunk: each chunk ≤ budget/6, so the engine's
+            # 3-deep transient (computing / dispatched / uploading —
+            # see prefetch_chunks) stays within half the budget, leaving
+            # the rest for params, optimizer state and activations;
+            # ≥1 ⇒ per-batch streaming floor
             batch_bytes = max(
                 1,
                 pipeline.split_nbytes(data.train)
                 // pipeline.num_batches(data.train.n, t.batch_size),
             )
-            auto_k = max(1, budget // (3 * batch_bytes))
+            auto_k = max(1, budget // (6 * batch_bytes))
             t = dataclasses.replace(
                 t, stream_chunk_batches=int(
                     os.environ.get("ECGMM_STREAM_CHUNK_BATCHES", auto_k)
                 ),
             )
-            if t.stream_chunk_batches > 1:
+            if verbose and t.stream_chunk_batches > 1:
                 print(f"streaming in super-chunks of "
                       f"{t.stream_chunk_batches} batches")
 
