@@ -324,6 +324,140 @@ def fit_in_budget(arrays: Arrays, hbm_budget_bytes: Optional[int]):
     return to_host_resident(arrays)
 
 
+def resolve_hbm_budget() -> int:
+    """The HBM byte budget for device-resident splits:
+    `ECGMM_HBM_BUDGET_BYTES` when set; otherwise 60% of the device's
+    reported `bytes_limit` (leaving the rest for params, optimizer
+    state and activations); 0 = unlimited when the backend reports no
+    limit (CPU meshes and the relayed TPU backend report none — there
+    the env var is the only control)."""
+    import os
+
+    env = os.environ.get("ECGMM_HBM_BUDGET_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0) or 0)
+    except Exception:
+        limit = 0
+    return int(limit * 0.6) if limit else 0
+
+
+# ---------------------------------------------------------------------------
+# Disk-backed split cache: memmap streaming for over-RAM datasets.
+# ---------------------------------------------------------------------------
+# The reference re-runs PIL decode + scipy filtfilt per sample, per
+# epoch, in DataLoader workers (/root/reference/dataset.py:53-74); here
+# materialization already runs once — and with the cache it runs once
+# EVER: `save_materialized` persists the packed splits + fitted scalers,
+# and `load_materialized` reopens them memory-mapped, so (a) the
+# CPU-pinned scipy-parity preprocessing is amortized across runs, and
+# (b) datasets larger than host RAM train straight from disk through
+# the streaming engine path (the per-chunk row gather only touches the
+# pages it reads).
+
+_SPLIT_FIELDS = ("images", "signals", "clinical", "labels", "indices")
+
+
+def has_materialized(cache_dir: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(cache_dir, "scalers.npz")) and \
+        os.path.exists(os.path.join(cache_dir, "train", "labels.npy"))
+
+
+def save_materialized(data: MaterializedData, cache_dir: str) -> None:
+    """Persist all three splits (one .npy per modality) + the fitted
+    scalers. Fields that are None for the task (e.g. images in
+    signal-only presets) are simply absent on disk."""
+    import os
+
+    for split in ("train", "val", "test"):
+        d = os.path.join(cache_dir, split)
+        os.makedirs(d, exist_ok=True)
+        arrs = getattr(data, split)
+        for f in _SPLIT_FIELDS:
+            a = getattr(arrs, f)
+            if a is not None:
+                np.save(os.path.join(d, f + ".npy"), np.asarray(a))
+    sc = {}
+    for name, s in (("ecg", data.ecg_scaler),
+                    ("clinical", data.clinical_scaler)):
+        if s is not None:
+            sc[name + "_mean"] = np.asarray(s.mean)
+            sc[name + "_scale"] = np.asarray(s.scale)
+    np.savez(os.path.join(cache_dir, "scalers.npz"), **sc)
+
+
+def _load_split(d: str, mmap: bool):
+    import os
+
+    def rd(f):
+        pth = os.path.join(d, f + ".npy")
+        if not os.path.exists(pth):
+            return None
+        return np.load(pth, mmap_mode="r" if mmap else None)
+
+    return HostArrays(
+        images=rd("images"), signals=rd("signals"),
+        clinical=rd("clinical"), labels=rd("labels"),
+        indices=np.asarray(rd("indices")),
+    )
+
+
+def _promote(host: HostArrays) -> Arrays:
+    """HostArrays → device-resident Arrays (one upload per modality)."""
+
+    def up(a):
+        return None if a is None else jnp.asarray(np.asarray(a))
+
+    return Arrays(
+        images=up(host.images), signals=up(host.signals),
+        clinical=up(host.clinical), labels=up(host.labels),
+        indices=np.asarray(host.indices),
+    )
+
+
+def load_materialized(
+    cache_dir: str, hbm_budget_bytes: Optional[int] = None,
+) -> MaterializedData:
+    """Reopen a `save_materialized` cache. train/val splits that exceed
+    the budget stay memory-mapped HostArrays and stream (never copied
+    into RAM, never into HBM); in-budget splits are promoted to
+    device-resident Arrays, exactly as a fresh materialization would
+    produce. The test split is always promoted — the one-dispatch scan
+    test protocol needs a device pool."""
+    import os
+
+    budget = hbm_budget_bytes if hbm_budget_bytes is not None \
+        else resolve_hbm_budget()
+
+    def split(name, always_promote=False):
+        host = _load_split(os.path.join(cache_dir, name), mmap=True)
+        if always_promote or not budget or \
+                split_nbytes(host) <= budget:
+            return _promote(host)
+        return host
+
+    z = np.load(os.path.join(cache_dir, "scalers.npz"))
+
+    def scaler(name):
+        if name + "_mean" not in z:
+            return None
+        return preprocess.Scaler(
+            mean=z[name + "_mean"], scale=z[name + "_scale"]
+        )
+
+    return MaterializedData(
+        train=split("train"),
+        val=split("val"),
+        test=split("test", always_promote=True),
+        ecg_scaler=scaler("ecg"),
+        clinical_scaler=scaler("clinical"),
+    )
+
+
 def _row_uploader(sharding):
     """Shared host-gather → dtype-cast → async device_put for the
     streaming paths. Returns put(array, rows, dtype) so prefetch_batches

@@ -281,11 +281,13 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     writer = MetricWriter(os.path.join(t.log_dir, stamp))
     # inverse-class-frequency weighted sampling for the PTB-XL task
     # (reference train_signal_only_ptb.py:230-241)
-    # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES; 0 = unlimited)
-    # stay host-resident and stream through the engine's double-buffered
-    # prefetch path. Test stays device-resident (≈10% of the cohort; the
-    # one-dispatch evaluate_scan test protocol needs a device pool).
-    budget = int(os.environ.get("ECGMM_HBM_BUDGET_BYTES", "0") or 0)
+    # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES, else 60% of
+    # the device's reported limit, else unlimited — pipeline.
+    # resolve_hbm_budget) stay host-resident and stream through the
+    # engine's double-buffered prefetch path. Test stays device-resident
+    # (≈10% of the cohort; the one-dispatch evaluate_scan test protocol
+    # needs a device pool).
+    budget = pipeline.resolve_hbm_budget()
     if budget:
         data = dataclasses.replace(
             data,
@@ -396,6 +398,12 @@ def main(argv=None):
                    help="fusion presets: precompute frozen-encoder "
                         "embeddings once and train only the fusion "
                         "surface (eval-mode encoders — see PARITY.md)")
+    p.add_argument("--split-cache", default=None, metavar="DIR",
+                   help="disk cache for materialized splits: first run "
+                        "saves the packed arrays + scalers there, later "
+                        "runs skip materialization and reopen them "
+                        "memory-mapped (over-budget splits stream from "
+                        "disk without a RAM copy)")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="continue from --run-dir's last checkpoint")
@@ -421,7 +429,14 @@ def main(argv=None):
 
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
-    data = load_data(cfg, args.data, args.n_synth)
+    if args.split_cache and pipeline.has_materialized(args.split_cache):
+        data = pipeline.load_materialized(args.split_cache)
+        print(f"reopened materialized splits from {args.split_cache}")
+    else:
+        data = load_data(cfg, args.data, args.n_synth)
+        if args.split_cache:
+            pipeline.save_materialized(data, args.split_cache)
+            print(f"saved materialized splits to {args.split_cache}")
     with_cache_recovery(
         run, cfg, data, run_dir=args.run_dir, resume=args.resume
     )
