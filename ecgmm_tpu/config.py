@@ -147,7 +147,9 @@ class TrainConfig:
     # many planned batches per host→device transfer and run them through
     # ONE scan dispatch — same batches/order as per-batch streaming, but
     # the per-dispatch relay tax is paid once per chunk instead of once
-    # per batch. 0/1 = per-batch streaming. Up to three chunks coexist
+    # per batch. 0 = auto: the CLI (workloads/run.py) sizes chunks at
+    # budget/6; the engine itself treats 0 as per-batch, so set 1 to
+    # force per-batch streaming through the CLI. Up to three chunks coexist
     # on device (computing / dispatched / uploading) — choose K so three
     # chunks fit comfortably inside the HBM budget (run.py's auto-sizer
     # uses budget/6 per chunk).

@@ -72,6 +72,7 @@ def materialize_trimodal(
     cfg: Config,
     apply_signal_filter: bool = True,
     scale_all_clinical: Optional[bool] = None,
+    device: bool = True,
 ) -> MaterializedData:
     """Split + scale + preprocess a trimodal cohort into device arrays.
 
@@ -84,6 +85,11 @@ def materialize_trimodal(
     (dataset.py:198); the modal-balance variant scales every clinical
     column (dataset_image.py:36 / dataset_kfold.py:36). Defaults by
     cfg.model.variant.
+
+    device=False keeps the splits as host-resident numpy (HostArrays) —
+    used by the --split-cache save path so over-HBM datasets can be
+    persisted without ever touching the device (and without the
+    device→host readback a post-promotion save would cost).
     """
     sp = splits.stratified_811(cohort.labels, seed=cfg.train.seed)
 
@@ -125,13 +131,14 @@ def materialize_trimodal(
                     axis=1,
                 )
             clin = np.asarray(clin, np.float32)
-        return Arrays(
-            images=jnp.asarray(cohort.images[idx]),
-            signals=jnp.asarray(sig),
-            clinical=jnp.asarray(clin),
-            labels=jnp.asarray(cohort.labels[idx], jnp.int32),
+        host = HostArrays(
+            images=np.asarray(cohort.images[idx]),
+            signals=np.asarray(sig, np.float32),
+            clinical=clin,
+            labels=np.asarray(cohort.labels[idx], np.int32),
             indices=cohort.indices[idx],
         )
+        return _promote(host) if device else host
 
     return MaterializedData(
         train=build(sp.train),
@@ -148,13 +155,15 @@ def materialize_signal(
     split: splits.Split,
     preprocess_fn=None,
     spectrogram: bool = False,
+    device: bool = True,
 ) -> "MaterializedData":
     """Signal-only task materialization (train_signal_only*.py /
     train_physionet*.py / train_signal_only_ptb.py families).
 
     preprocess_fn: host-side (N, ..., T) -> (N, ..., T') applied per
     split. spectrogram converts to log-STFT images for the CRNN
-    (train_physionet2.py)."""
+    (train_physionet2.py). device=False → host-resident splits (see
+    materialize_trimodal)."""
     from ecgmm_tpu.ops.spectrogram import log_spectrogram
 
     def build(idx: np.ndarray) -> Arrays:
@@ -167,13 +176,14 @@ def materialize_signal(
                     log_spectrogram(jnp.asarray(sig, jnp.float32)),
                     np.float32,
                 )
-        return Arrays(
+        host = HostArrays(
             images=None,
-            signals=jnp.asarray(sig, jnp.float32),
+            signals=np.asarray(sig, np.float32),
             clinical=None,
-            labels=jnp.asarray(labels[idx], jnp.int32),
+            labels=np.asarray(labels[idx], np.int32),
             indices=np.asarray(idx),
         )
+        return _promote(host) if device else host
 
     ident = preprocess.Scaler(np.zeros(1), np.ones(1))
     return MaterializedData(
@@ -314,14 +324,17 @@ def to_host_resident(arrays: Arrays) -> HostArrays:
     )
 
 
-def fit_in_budget(arrays: Arrays, hbm_budget_bytes: Optional[int]):
+def fit_in_budget(arrays, hbm_budget_bytes: Optional[int]):
     """Keep the split device-resident when it fits the budget; otherwise
     demote it to HostArrays for the streaming engine path. budget None/0 =
     unlimited (the 244-patient cohort and even full PTB-XL fit v5e HBM;
-    the budget exists so larger-than-HBM datasets still train)."""
+    the budget exists so larger-than-HBM datasets still train). Accepts
+    either residency: in-budget HostArrays are promoted, over-budget
+    Arrays demoted."""
     if not hbm_budget_bytes or split_nbytes(arrays) <= hbm_budget_bytes:
-        return arrays
-    return to_host_resident(arrays)
+        return arrays if isinstance(arrays, Arrays) else _promote(arrays)
+    return arrays if isinstance(arrays, HostArrays) \
+        else to_host_resident(arrays)
 
 
 def resolve_hbm_budget() -> int:
@@ -367,10 +380,18 @@ def has_materialized(cache_dir: str) -> bool:
         os.path.exists(os.path.join(cache_dir, "train", "labels.npy"))
 
 
-def save_materialized(data: MaterializedData, cache_dir: str) -> None:
+def save_materialized(data: MaterializedData, cache_dir: str,
+                      meta: Optional[dict] = None) -> None:
     """Persist all three splits (one .npy per modality) + the fitted
     scalers. Fields that are None for the task (e.g. images in
-    signal-only presets) are simply absent on disk."""
+    signal-only presets) are simply absent on disk.
+
+    meta: optional JSON-serializable fingerprint of the run configuration
+    that produced the cache (preset, data source, seed, shapes…) —
+    `load_materialized(expect_meta=…)` refuses to reopen a cache whose
+    fingerprint differs, so a stale cache can't silently feed the wrong
+    cohort/preprocessing into a later run."""
+    import json
     import os
 
     for split in ("train", "val", "test"):
@@ -388,6 +409,9 @@ def save_materialized(data: MaterializedData, cache_dir: str) -> None:
             sc[name + "_mean"] = np.asarray(s.mean)
             sc[name + "_scale"] = np.asarray(s.scale)
     np.savez(os.path.join(cache_dir, "scalers.npz"), **sc)
+    if meta is not None:
+        with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
 
 
 def _load_split(d: str, mmap: bool):
@@ -421,14 +445,41 @@ def _promote(host: HostArrays) -> Arrays:
 
 def load_materialized(
     cache_dir: str, hbm_budget_bytes: Optional[int] = None,
+    expect_meta: Optional[dict] = None,
 ) -> MaterializedData:
     """Reopen a `save_materialized` cache. train/val splits that exceed
     the budget stay memory-mapped HostArrays and stream (never copied
     into RAM, never into HBM); in-budget splits are promoted to
     device-resident Arrays, exactly as a fresh materialization would
     produce. The test split is always promoted — the one-dispatch scan
-    test protocol needs a device pool."""
+    test protocol needs a device pool.
+
+    expect_meta: the requesting run's configuration fingerprint; when the
+    cache carries a meta.json (written by save_materialized) the two are
+    compared key-by-key and a mismatch raises instead of silently
+    training on a stale cohort. Caches without meta.json load
+    unvalidated."""
+    import json
     import os
+
+    if expect_meta is not None:
+        mpth = os.path.join(cache_dir, "meta.json")
+        if os.path.exists(mpth):
+            with open(mpth) as f:
+                saved = json.load(f)
+            diff = {
+                k: (saved.get(k), v) for k, v in expect_meta.items()
+                if saved.get(k) != v
+            }
+            if diff:
+                raise ValueError(
+                    f"split cache at {cache_dir} was built for a "
+                    "different run configuration: " + "; ".join(
+                        f"{k}: cached={c!r} requested={r!r}"
+                        for k, (c, r) in sorted(diff.items())
+                    ) + " — point --split-cache at a fresh directory or "
+                    "delete the stale cache"
+                )
 
     budget = hbm_budget_bytes if hbm_budget_bytes is not None \
         else resolve_hbm_budget()
@@ -467,12 +518,16 @@ def _row_uploader(sharding):
     def put(a, rows, dtype=None):
         if a is None:
             return None
-        out = a[rows]
+        out = np.asarray(a[rows])
         if dtype is not None:
             out = out.astype(dtype, copy=False)
-        dev = jnp.asarray(out)
-        return jax.device_put(dev, sharding) if sharding is not None \
-            else dev
+        # device_put straight from host numpy: with a sharding this
+        # splits across devices in ONE host→device transfer; staging
+        # through jnp.asarray first would materialize an unsharded copy
+        # on device 0 and double the transferred bytes (plus an extra
+        # chunk-sized transient the HBM-budget accounting ignores).
+        return jax.device_put(out, sharding) if sharding is not None \
+            else jnp.asarray(out)
 
     return put
 

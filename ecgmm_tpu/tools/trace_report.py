@@ -76,17 +76,24 @@ def rollup(rows: List[dict], key: str) -> Dict[str, Tuple[float, int, int]]:
 
 
 def print_report(trace_dir: str, steps: int = 1, top: int = 15) -> None:
-    rows = op_rows(load_device_events(trace_dir))
+    events = load_device_events(trace_dir)
+    # Multi-device traces have one plane per device and each op executes
+    # once per device — average over planes so the report stays
+    # per-device time, not a sum across the mesh.
+    n_dev = len({e["pid"] for e in events}) or 1
+    rows = op_rows(events)
+    div = steps * n_dev
     total_us = sum(r["dur_us"] for r in rows)
-    print(f"device op time: {total_us / steps / 1e3:.3f} ms/step "
-          f"({len(rows)} op events / {steps} steps)")
+    dev_note = f" avg over {n_dev} device planes" if n_dev > 1 else ""
+    print(f"device op time: {total_us / div / 1e3:.3f} ms/step "
+          f"({len(rows)} op events / {steps} steps{dev_note})")
 
     print("\nby hlo_category:")
     for cat, (us, by, n) in sorted(
         rollup(rows, "category").items(), key=lambda kv: -kv[1][0]
     ):
         gbps = by / (us * 1e3) if us else 0.0  # bytes/us ≈ GB/ms → /1e3
-        print(f"  {us / steps / 1e3:8.3f} ms/step  {n / steps:6.1f} ops  "
+        print(f"  {us / div / 1e3:8.3f} ms/step  {n / div:6.1f} ops  "
               f"{gbps:7.1f} GB/s  {cat}")
 
     print(f"\ntop {top} ops:")
@@ -94,7 +101,7 @@ def print_report(trace_dir: str, steps: int = 1, top: int = 15) -> None:
         rollup(rows, "name").items(), key=lambda kv: -kv[1][0]
     )[:top]:
         gbps = by / (us * 1e3) if us else 0.0
-        print(f"  {us / steps / 1e3:8.3f} ms/step  {gbps:7.1f} GB/s  "
+        print(f"  {us / div / 1e3:8.3f} ms/step  {gbps:7.1f} GB/s  "
               f"{name[:70]}")
 
 

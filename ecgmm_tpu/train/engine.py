@@ -281,6 +281,35 @@ def make_eval_step(task: Task):
     return jax.jit(eval_step)
 
 
+def _assemble_eval(losses, logits_list, labels_list, extra) -> EvalResult:
+    """Shared EvalResult assembly: batch-averaged loss (the reference
+    averages batch means, train.py:95-113), accuracy over real rows,
+    metric means. Every eval path (eager loop, scan, streamed, chunked)
+    funnels through here so the metric semantics can't drift between
+    them."""
+    flat_logits = np.concatenate(logits_list)
+    flat_labels = np.concatenate(labels_list)
+    return EvalResult(
+        loss=float(np.mean(np.asarray(losses))),
+        accuracy=float((flat_logits.argmax(-1) == flat_labels).mean()),
+        logits=flat_logits,
+        labels=flat_labels,
+        metrics={
+            k: float(np.mean(np.asarray(v))) for k, v in extra.items()
+        },
+    )
+
+
+def _scan_eval_result(vlosses, vlogits, vlabels, vmask, vmets) -> EvalResult:
+    """Unpack one scan-eval program's stacked outputs (leading batch dim)
+    into an EvalResult, dropping pad rows via the plan mask."""
+    keep = np.asarray(vmask).reshape(-1) > 0
+    logits = np.asarray(vlogits)
+    flat_logits = logits.reshape(-1, logits.shape[-1])[keep]
+    flat_labels = np.asarray(vlabels).reshape(-1)[keep]
+    return _assemble_eval(vlosses, [flat_logits], [flat_labels], vmets)
+
+
 def evaluate(
     eval_step, state: TrainState, arrays: Arrays, batch_size: int,
     mesh=None,
@@ -308,16 +337,7 @@ def evaluate(
             logits=np.zeros((0, 2), np.float32),
             labels=np.zeros((0,), np.int64), metrics={},
         )
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
-    acc = float((logits.argmax(-1) == labels).mean())
-    return EvalResult(
-        loss=float(np.mean(losses)),
-        accuracy=acc,
-        logits=logits,
-        labels=labels,
-        metrics={k: float(np.mean(v)) for k, v in extra.items()},
-    )
+    return _assemble_eval(losses, all_logits, all_labels, extra)
 
 
 def evaluate_scan(
@@ -344,18 +364,7 @@ def evaluate_scan(
     losses, logits, labels, mets = eval_epoch(
         state, jnp.asarray(idx), jnp.asarray(mask)
     )
-    keep = np.asarray(mask).reshape(-1) > 0
-    flat_logits = np.asarray(logits).reshape(-1, logits.shape[-1])[keep]
-    flat_labels = np.asarray(labels).reshape(-1)[keep]
-    return EvalResult(
-        loss=float(jnp.mean(losses)),
-        accuracy=float((flat_logits.argmax(-1) == flat_labels).mean()),
-        logits=flat_logits,
-        labels=flat_labels,
-        metrics={
-            k: float(np.mean(np.asarray(v))) for k, v in mets.items()
-        },
-    )
+    return _scan_eval_result(losses, logits, labels, mask, mets)
 
 
 @dataclasses.dataclass
@@ -559,19 +568,7 @@ def fit(
                     extra_l.setdefault(k, []).extend(
                         np.asarray(v).reshape(-1).tolist()
                     )
-            flat_logits = np.concatenate(logits_l)
-            flat_labels = np.concatenate(labels_l)
-            val = EvalResult(
-                loss=float(np.mean(losses_l)),
-                accuracy=float(
-                    (flat_logits.argmax(-1) == flat_labels).mean()
-                ),
-                logits=flat_logits,
-                labels=flat_labels,
-                metrics={
-                    k: float(np.mean(v)) for k, v in extra_l.items()
-                },
-            )
+            val = _assemble_eval(losses_l, logits_l, labels_l, extra_l)
         elif val_streamed and val_arrays.n > 0:
             # Dispatch ahead, holding only device refs — a
             # float()/np.asarray() on every batch would block on a
@@ -602,38 +599,10 @@ def fit(
                 for k, v in out["mets"].items():
                     if np.ndim(v) == 0:  # scalars (e.g. var_loss)
                         extra_l.setdefault(k, []).append(float(v))
-            flat_logits = np.concatenate(logits_l)
-            flat_labels = np.concatenate(labels_l)
-            val = EvalResult(
-                loss=float(np.mean(losses_l)),
-                accuracy=float(
-                    (flat_logits.argmax(-1) == flat_labels).mean()
-                ),
-                logits=flat_logits,
-                labels=flat_labels,
-                metrics={
-                    k: float(np.mean(v)) for k, v in extra_l.items()
-                },
-            )
+            val = _assemble_eval(losses_l, logits_l, labels_l, extra_l)
         elif val_arrays.n > 0:
             vlosses, vlogits, vlabels, vmets = eval_epoch(state, vidx, vmask)
-            keep = np.asarray(vmask).reshape(-1) > 0
-            flat_logits = np.asarray(vlogits).reshape(
-                -1, vlogits.shape[-1]
-            )[keep]
-            flat_labels = np.asarray(vlabels).reshape(-1)[keep]
-            val = EvalResult(
-                loss=float(jnp.mean(vlosses)),
-                accuracy=float(
-                    (flat_logits.argmax(-1) == flat_labels).mean()
-                ),
-                logits=flat_logits,
-                labels=flat_labels,
-                metrics={
-                    k: float(np.mean(np.asarray(v)))
-                    for k, v in vmets.items()
-                },
-            )
+            val = _scan_eval_result(vlosses, vlogits, vlabels, vmask, vmets)
         else:
             val = EvalResult(
                 float("nan"), float("nan"),

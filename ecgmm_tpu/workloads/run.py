@@ -87,8 +87,8 @@ def build_model_and_task(cfg: Config):
     return model, task, init_args, freeze
 
 
-def _signal_task_data(cfg: Config, source: str, n_synth: int
-                      ) -> pipeline.MaterializedData:
+def _signal_task_data(cfg: Config, source: str, n_synth: int,
+                      device: bool = True) -> pipeline.MaterializedData:
     """Dataset assembly for the signal-only families: real files when a
     data dir is present, the deterministic synthetic cohort otherwise.
     Each preset reproduces its reference trainer's label map, split
@@ -123,6 +123,7 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int
             preprocess_fn=lambda s: preprocess.preprocess_ptbxl(
                 jnp.asarray(s, jnp.float32)
             ),
+            device=device,
         )
         return data
 
@@ -160,6 +161,7 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int
                 jnp.asarray(s, jnp.float32)
             ),
             spectrogram=(cfg.name == "physionet_crnn"),
+            device=device,
         )
 
     if cfg.name == "signal_af":
@@ -173,6 +175,7 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int
             preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
                 jnp.asarray(s, jnp.float32)
             )),
+            device=device,
         )
 
     if cfg.name == "signal_12lead":
@@ -185,6 +188,7 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int
             preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
                 jnp.asarray(s, jnp.float32)
             )),
+            device=device,
         )
 
     # signal_arr and plain signal tasks: binary stratified 8:1:1
@@ -195,6 +199,7 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int
         preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
             jnp.asarray(s, jnp.float32)
         )),
+        device=device,
     )
 
 
@@ -204,9 +209,10 @@ SIGNAL_FAMILIES = (
 )
 
 
-def load_data(cfg: Config, source: str, n_synth: int) -> pipeline.MaterializedData:
+def load_data(cfg: Config, source: str, n_synth: int,
+              device: bool = True) -> pipeline.MaterializedData:
     if cfg.name in SIGNAL_FAMILIES:
-        return _signal_task_data(cfg, source, n_synth)
+        return _signal_task_data(cfg, source, n_synth, device=device)
     if source == "synthetic":
         cohort = synthetic.make_cohort(
             n=n_synth,
@@ -215,7 +221,7 @@ def load_data(cfg: Config, source: str, n_synth: int) -> pipeline.MaterializedDa
             n_clinical=cfg.model.clinical_in_features,
             seed=cfg.train.seed,
         )
-        return pipeline.materialize_trimodal(cohort, cfg)
+        return pipeline.materialize_trimodal(cohort, cfg, device=device)
     if source == "hospital":
         from ecgmm_tpu.data import align, sources
 
@@ -250,7 +256,7 @@ def load_data(cfg: Config, source: str, n_synth: int) -> pipeline.MaterializedDa
             images=images,
             clinical_columns=tuple(clin_cols),
         )
-        return pipeline.materialize_trimodal(cohort, cfg)
+        return pipeline.materialize_trimodal(cohort, cfg, device=device)
     raise ValueError(f"unknown data source {source!r}")
 
 
@@ -307,10 +313,10 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                 // pipeline.num_batches(data.train.n, t.batch_size),
             )
             auto_k = max(1, budget // (6 * batch_bytes))
+            env_k = os.environ.get("ECGMM_STREAM_CHUNK_BATCHES")
             t = dataclasses.replace(
-                t, stream_chunk_batches=int(
-                    os.environ.get("ECGMM_STREAM_CHUNK_BATCHES", auto_k)
-                ),
+                t,
+                stream_chunk_batches=int(env_k) if env_k else int(auto_k),
             )
             if verbose and t.stream_chunk_batches > 1:
                 print(f"streaming in super-chunks of "
@@ -429,14 +435,38 @@ def main(argv=None):
 
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
+    # Fingerprint of everything that shapes the materialized splits —
+    # saved beside the cache and re-checked on reopen so a cache built
+    # for one preset/cohort/seed can't silently feed a different run.
+    split_fp = {
+        "preset": args.preset,
+        "source": args.data,
+        "data_dir": args.data_dir or "",
+        "n_synth": args.n_synth,
+        "seed": cfg.train.seed,
+        "variant": cfg.model.variant,
+        "signal_len": cfg.data.signal_len,
+        "img_hw": [cfg.data.img_height, cfg.data.img_width],
+        "clinical_in": cfg.model.clinical_in_features,
+    }
     if args.split_cache and pipeline.has_materialized(args.split_cache):
-        data = pipeline.load_materialized(args.split_cache)
+        data = pipeline.load_materialized(
+            args.split_cache, expect_meta=split_fp
+        )
         print(f"reopened materialized splits from {args.split_cache}")
     else:
-        data = load_data(cfg, args.data, args.n_synth)
+        # With a cache dir the splits are materialized HOST-side (no
+        # device promotion before the save, so over-HBM datasets can
+        # bootstrap the cache, and no device→host readback to write the
+        # files), then reopened through the same memory-mapped path
+        # later runs use.
+        data = load_data(
+            cfg, args.data, args.n_synth, device=not args.split_cache
+        )
         if args.split_cache:
-            pipeline.save_materialized(data, args.split_cache)
+            pipeline.save_materialized(data, args.split_cache, meta=split_fp)
             print(f"saved materialized splits to {args.split_cache}")
+            data = pipeline.load_materialized(args.split_cache)
     with_cache_recovery(
         run, cfg, data, run_dir=args.run_dir, resume=args.resume
     )

@@ -128,6 +128,64 @@ def test_none_fields_survive_roundtrip(tmp_path):
     )
 
 
+def test_meta_fingerprint_guard(small_data, tmp_path):
+    """A cache saved with a run-config fingerprint refuses to reopen
+    under a different fingerprint (stale-cache guard); matching
+    fingerprints and legacy caches without meta.json load normally."""
+    import os
+
+    cache = str(tmp_path / "cache")
+    meta = {"preset": "fusion", "n_synth": 80, "seed": 42}
+    pipeline.save_materialized(small_data, cache, meta=meta)
+    pipeline.load_materialized(cache, hbm_budget_bytes=0, expect_meta=meta)
+    with pytest.raises(ValueError, match="n_synth"):
+        pipeline.load_materialized(
+            cache, hbm_budget_bytes=0,
+            expect_meta={**meta, "n_synth": 999},
+        )
+    os.remove(os.path.join(cache, "meta.json"))
+    pipeline.load_materialized(cache, hbm_budget_bytes=0, expect_meta=meta)
+
+
+def test_materialize_host_side_matches_device(tmp_path):
+    """device=False materialization returns HostArrays numerically equal
+    to the device-promoted materialization (the --split-cache save path
+    writes these without any device round trip)."""
+    from ecgmm_tpu.config import Config as Cfg
+
+    cohort = synthetic.make_cohort(n=40, signal_len=128, img_hw=(8, 16))
+    host = pipeline.materialize_trimodal(cohort, Cfg(), device=False)
+    dev = pipeline.materialize_trimodal(cohort, Cfg())
+    assert isinstance(host.train, pipeline.HostArrays)
+    assert isinstance(host.train.images, np.ndarray)
+    for f in ("images", "signals", "clinical", "labels"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(host.train, f)),
+            np.asarray(getattr(dev.train, f)),
+        )
+    # fit_in_budget promotes in-budget host splits to device residency
+    promoted = pipeline.fit_in_budget(host.train, None)
+    assert isinstance(promoted, pipeline.Arrays)
+
+
+def test_cli_split_cache_fingerprint_mismatch(tmp_path, capsys):
+    """Reusing a --split-cache dir with a different cohort size is an
+    error, not a silent reuse of the stale splits."""
+    from ecgmm_tpu.workloads import run as run_mod
+
+    cache = str(tmp_path / "cache")
+    run_mod.main([
+        "--preset", "signal_only", "--epochs", "1", "--n-synth", "48",
+        "--split-cache", cache, "--run-dir", str(tmp_path / "run1"),
+    ])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="n_synth"):
+        run_mod.main([
+            "--preset", "signal_only", "--epochs", "1", "--n-synth", "64",
+            "--split-cache", cache, "--run-dir", str(tmp_path / "run2"),
+        ])
+
+
 def test_resolve_hbm_budget_env(monkeypatch):
     monkeypatch.setenv("ECGMM_HBM_BUDGET_BYTES", "123456")
     assert pipeline.resolve_hbm_budget() == 123456
