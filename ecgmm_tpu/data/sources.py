@@ -185,8 +185,10 @@ def read_wfdb_header(hea_path: str) -> WFDBHeader:
 
 def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
               ) -> Tuple[np.ndarray, WFDBHeader]:
-    """wfdb.rdsamp equivalent for format-16/32 single-.dat records and
-    .mat-backed records (CinC 2017 ships v4 .mat files).
+    """wfdb.rdsamp equivalent for single-.dat records in formats
+    16/32 (PTB-XL, CinC headers), 212 (MIT-BIH packed 12-bit), 80
+    (offset-binary 8-bit) and 24 (3-byte LE), plus .mat-backed records
+    (CinC 2017 ships v4 .mat files).
 
     Returns (signal[T, C] float64 in physical units, header)."""
     hdr = read_wfdb_header(record_path + ".hea")
@@ -205,8 +207,37 @@ def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
             digital = np.fromfile(path, dtype="<i2").astype(np.float64)
         elif fmt == 32:
             digital = np.fromfile(path, dtype="<i4").astype(np.float64)
+        elif fmt == 212:
+            # MIT-BIH: two 12-bit two's-complement samples per 3 bytes —
+            # s0 = b1[3:0]·256 + b0, s1 = b1[7:4]·256 + b2.
+            b = np.fromfile(path, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int32)
+            s0 = ((b[:, 1] & 0x0F) << 8) | b[:, 0]
+            s1 = ((b[:, 1] & 0xF0) << 4) | b[:, 2]
+            pair = np.stack([s0, s1], axis=1).reshape(-1)
+            digital = np.where(
+                pair > 2047, pair - 4096, pair
+            ).astype(np.float64)
+        elif fmt == 80:
+            # offset-binary 8-bit: stored byte − 128
+            digital = (
+                np.fromfile(path, dtype=np.uint8).astype(np.float64) - 128.0
+            )
+        elif fmt == 24:
+            # 3-byte little-endian two's complement
+            b = np.fromfile(path, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            digital = np.where(
+                v >= (1 << 23), v - (1 << 24), v
+            ).astype(np.float64)
         else:
             raise NotImplementedError(f"WFDB format {fmt} not supported")
+        # Format 212 pads odd sample counts to a byte boundary; crop to
+        # the header's declared length before de-interleaving channels.
+        if hdr.n_samples:
+            digital = digital[: hdr.n_samples * hdr.n_sig]
+        digital = digital[: (len(digital) // hdr.n_sig) * hdr.n_sig]
         digital = digital.reshape(-1, hdr.n_sig)
 
     gains = np.asarray(hdr.gains)

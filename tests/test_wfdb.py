@@ -54,6 +54,88 @@ def test_read_wfdb_mat(tmp_path):
     )
 
 
+def _hea(tmp_path, name, n_sig, n, fmt, gains, baselines, fs=250.0):
+    with open(tmp_path / f"{name}.hea", "w") as f:
+        f.write(f"{name} {n_sig} {fs} {n}\n")
+        for i in range(n_sig):
+            f.write(
+                f"{name}.dat {fmt} {gains[i]}({baselines[i]})/mV 16 0 0 0 0 "
+                f"sig{i}\n"
+            )
+
+
+def _pack212(samples):
+    """WFDB format-212 encoder (two 12-bit two's-complement samples per
+    3 bytes), for minting test fixtures."""
+    s = np.asarray(samples, np.int64)
+    if len(s) % 2:
+        s = np.concatenate([s, [0]])
+    u = np.where(s < 0, s + 4096, s)
+    s0, s1 = u[0::2], u[1::2]
+    b0 = s0 & 0xFF
+    b1 = ((s0 >> 8) & 0x0F) | (((s1 >> 8) & 0x0F) << 4)
+    b2 = s1 & 0xFF
+    return np.stack([b0, b1, b2], axis=1).astype(np.uint8).reshape(-1)
+
+
+def test_read_wfdb_format212_two_channel(tmp_path):
+    """MIT-BIH packed 12-bit: 2-channel interleaved roundtrip with
+    gain/baseline scaling."""
+    rng = np.random.default_rng(2)
+    n, gains, baselines = 240, [200.0, 100.0], [0, -10]
+    digital = rng.integers(-2048, 2048, (n, 2)).astype(np.int64)
+    _pack212(digital.reshape(-1)).tofile(tmp_path / "m1.dat")
+    _hea(tmp_path, "m1", 2, n, 212, gains, baselines)
+    sig, hdr = sources.read_wfdb(str(tmp_path / "m1"))
+    want = (digital.astype(np.float64) - baselines) / gains
+    assert hdr.formats == [212, 212]
+    np.testing.assert_allclose(sig, want, atol=1e-12)
+
+
+def test_read_wfdb_format212_odd_length_padding(tmp_path):
+    """An odd single-channel sample count pads the final 3-byte group;
+    the reader crops to the header's declared length."""
+    digital = np.array([5, -5, 2047, -2048, 123], np.int64)
+    _pack212(digital).tofile(tmp_path / "m2.dat")
+    _hea(tmp_path, "m2", 1, len(digital), 212, [200.0], [0])
+    sig, _ = sources.read_wfdb(str(tmp_path / "m2"))
+    assert sig.shape == (5, 1)
+    np.testing.assert_allclose(sig[:, 0], digital / 200.0, atol=1e-12)
+
+
+def test_read_wfdb_format80(tmp_path):
+    """Offset-binary 8-bit: stored byte − 128."""
+    digital = np.array([-128, -1, 0, 1, 127], np.int64)
+    (digital + 128).astype(np.uint8).tofile(tmp_path / "m3.dat")
+    _hea(tmp_path, "m3", 1, len(digital), 80, [100.0], [0])
+    sig, _ = sources.read_wfdb(str(tmp_path / "m3"))
+    np.testing.assert_allclose(sig[:, 0], digital / 100.0, atol=1e-12)
+
+
+def test_read_wfdb_format24(tmp_path):
+    """3-byte little-endian two's complement."""
+    digital = np.array(
+        [-(1 << 23), -1, 0, 1, (1 << 23) - 1, 70000, -70000], np.int64
+    )
+    u = np.where(digital < 0, digital + (1 << 24), digital)
+    b = np.stack(
+        [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1
+    ).astype(np.uint8)
+    b.reshape(-1).tofile(tmp_path / "m4.dat")
+    _hea(tmp_path, "m4", 1, len(digital), 24, [1000.0], [0])
+    sig, _ = sources.read_wfdb(str(tmp_path / "m4"))
+    np.testing.assert_allclose(
+        sig[:, 0], digital.astype(np.float64) / 1000.0, atol=1e-12
+    )
+
+
+def test_read_wfdb_unknown_format_raises(tmp_path):
+    np.zeros(4, np.uint8).tofile(tmp_path / "m5.dat")
+    _hea(tmp_path, "m5", 1, 4, 8, [200.0], [0])
+    with pytest.raises(NotImplementedError, match="format 8"):
+        sources.read_wfdb(str(tmp_path / "m5"))
+
+
 def test_ptbxl_manifest(tmp_path):
     import pandas as pd
 
