@@ -41,13 +41,13 @@ class PostLNEncoderLayer(nn.Module):
             name="self_attn",
         )(x, x)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ff1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
 
 
 class ECGTransformer1D(nn.Module):

@@ -225,6 +225,125 @@ def convert_tabnet(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     }
 
 
+def convert_crnn(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """Reference CRNN state dict → variables for models.CRNN.
+
+    Torch key layout (`/root/reference/train_physionet2.py:55-96`):
+    conv{1,2,3}.block.{0=Conv2d,1=BatchNorm2d}.*, bilstm.{weight,bias}_
+    {ih,hh}_l{0..2}(_reverse), classifier.{0,3}.*.
+
+    Two layout conversions beyond the usual transposes:
+      * torch LSTM packs gates row-wise as (i,f,g,o) ×H and keeps two bias
+        vectors; flax OptimizedLSTMCell has per-gate Dense pairs i{g}
+        (no bias) / h{g} (bias) — the two torch biases are summed.
+      * the LSTM layer-0 input columns: torch flattens the conv output
+        channel-major (C, F′) while the NHWC flax model flattens
+        feature-major (F′, C); layer-0 input weights are column-permuted.
+    """
+    p: Dict[str, np.ndarray] = {}
+    s: Dict[str, np.ndarray] = {}
+
+    for name in ("conv1", "conv2", "conv3"):
+        p[f"{name}/conv/kernel"] = _conv2d(sd[f"{name}.block.0.weight"])
+        p[f"{name}/conv/bias"] = sd[f"{name}.block.0.bias"]
+        _put_bn(p, s, f"{name}/bn", sd, f"{name}.block.1")
+
+    c_out = sd["conv3.block.0.weight"].shape[0]
+    in_dim = sd["bilstm.weight_ih_l0"].shape[1]
+    f_out = in_dim // c_out
+    # flax column f·C+c ← torch column c·F′+f
+    perm = (np.arange(f_out)[:, None] + f_out * np.arange(c_out)).ravel()
+
+    hidden = sd["bilstm.weight_hh_l0"].shape[1]
+    n_layers = len({
+        k.split("_l")[1].split("_")[0] for k in sd if k.startswith("bilstm.")
+    })
+    gates = ("i", "f", "g", "o")  # torch chunk order == flax gate order
+    for k in range(n_layers):
+        for d, cell in enumerate(
+            ("OptimizedLSTMCell_0", "OptimizedLSTMCell_1")
+        ):
+            sfx = "_reverse" if d else ""
+            wih = sd[f"bilstm.weight_ih_l{k}{sfx}"]
+            whh = sd[f"bilstm.weight_hh_l{k}{sfx}"]
+            bias = (sd[f"bilstm.bias_ih_l{k}{sfx}"]
+                    + sd[f"bilstm.bias_hh_l{k}{sfx}"])
+            for gi, g in enumerate(gates):
+                rows = slice(gi * hidden, (gi + 1) * hidden)
+                win = wih[rows].T
+                if k == 0:
+                    win = win[perm]
+                base = f"bilstm{k}/{cell}"
+                p[f"{base}/i{g}/kernel"] = win
+                p[f"{base}/h{g}/kernel"] = whh[rows].T
+                p[f"{base}/h{g}/bias"] = bias[rows]
+
+    p["head_dense/kernel"] = _linear(sd["classifier.0.weight"])
+    p["head_dense/bias"] = sd["classifier.0.bias"]
+    p["head_out/kernel"] = _linear(sd["classifier.3.weight"])
+    p["head_out/bias"] = sd["classifier.3.bias"]
+    return {
+        "params": unflatten_path_dict(p),
+        "batch_stats": unflatten_path_dict(s),
+    }
+
+
+def convert_transformer1d(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """Reference ECGTransformer1D state dict → variables for
+    models.ECGTransformer1D.
+
+    Torch key layout (`/root/reference/train_physionet.py:211-239`):
+    conv.*, pos_embedding, transformer_encoder.layers.{i}.{self_attn.
+    {in_proj_weight,in_proj_bias,out_proj.*}, linear{1,2}.*, norm{1,2}.*},
+    classifier.{1,4}.* (index 0 is a Flatten). The packed (3D, D)
+    in_proj is split into per-head q/k/v kernels of shape (D, H, D/H)."""
+    p: Dict[str, np.ndarray] = {}
+
+    p["embed_conv/kernel"] = _conv1d(sd["conv.weight"])
+    p["embed_conv/bias"] = sd["conv.bias"]
+    p["pos_embedding"] = sd["pos_embedding"]
+
+    d_model = sd["conv.weight"].shape[0]
+    layers = sorted({
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("transformer_encoder.layers.")
+    })
+    # head count is not stored in the state dict; the reference fixes 4
+    nhead = 4
+    hd = d_model // nhead
+    for i in layers:
+        pre = f"transformer_encoder.layers.{i}."
+        wqkv = sd[pre + "self_attn.in_proj_weight"]
+        bqkv = sd[pre + "self_attn.in_proj_bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            w = wqkv[j * d_model:(j + 1) * d_model]  # (D, D) out×in
+            p[f"layer{i}/self_attn/{name}/kernel"] = w.T.reshape(
+                d_model, nhead, hd
+            )
+            p[f"layer{i}/self_attn/{name}/bias"] = bqkv[
+                j * d_model:(j + 1) * d_model
+            ].reshape(nhead, hd)
+        p[f"layer{i}/self_attn/out/kernel"] = sd[
+            pre + "self_attn.out_proj.weight"
+        ].T.reshape(nhead, hd, d_model)
+        p[f"layer{i}/self_attn/out/bias"] = sd[
+            pre + "self_attn.out_proj.bias"
+        ]
+        p[f"layer{i}/ff1/kernel"] = _linear(sd[pre + "linear1.weight"])
+        p[f"layer{i}/ff1/bias"] = sd[pre + "linear1.bias"]
+        p[f"layer{i}/ff2/kernel"] = _linear(sd[pre + "linear2.weight"])
+        p[f"layer{i}/ff2/bias"] = sd[pre + "linear2.bias"]
+        for n in ("norm1", "norm2"):
+            p[f"layer{i}/{n}/scale"] = sd[pre + n + ".weight"]
+            p[f"layer{i}/{n}/bias"] = sd[pre + n + ".bias"]
+
+    p["head_dense/kernel"] = _linear(sd["classifier.1.weight"])
+    p["head_dense/bias"] = sd["classifier.1.bias"]
+    p["head_out/kernel"] = _linear(sd["classifier.4.weight"])
+    p["head_out/bias"] = sd["classifier.4.bias"]
+    return {"params": unflatten_path_dict(p)}
+
+
 def _convert_fusion_tail(params: dict, sd: Mapping[str, np.ndarray]) -> None:
     """The post-encoder surface shared by both fusion variants: branch
     LayerNorms + classifiers, attention fusion, fusion MLP head
@@ -316,6 +435,8 @@ CONVERTERS = {
     "resnet18": convert_resnet18,
     "clinical_mlp": convert_clinical_mlp,
     "tabnet": convert_tabnet,
+    "crnn": convert_crnn,
+    "transformer1d": convert_transformer1d,
     "fusion_modal_balance": convert_fusion_modal_balance,
     "fusion_canonical": convert_fusion_canonical,
 }
