@@ -599,9 +599,12 @@ def prefetch_chunks(
 ):
     """Super-chunked streaming: stage `chunk_batches` planned batches per
     host→device transfer and yield (chunk Arrays, per-chunk idx matrix,
-    per-chunk mask matrix) — the engine runs each chunk through ONE
-    scan-epoch dispatch instead of `chunk_batches` per-batch dispatches
-    (each of which costs a full relay round trip on relayed backends).
+    per-chunk device mask matrix, per-chunk HOST mask matrix) — the
+    engine runs each chunk through ONE scan-epoch dispatch instead of
+    `chunk_batches` per-batch dispatches (each of which costs a full
+    relay round trip on relayed backends). The host mask copy lets
+    consumers filter readbacks without fetching the device mask (one
+    avoided relay round trip per chunk).
 
     (idx_mat, mask_mat) is the epoch plan from engine.epoch_indices, so
     chunked, per-batch-streamed and device-resident training all see the
@@ -643,8 +646,9 @@ def prefetch_chunks(
         # small planning data; jit/GSPMD replicates it at the program
         # boundary — no explicit sharding needed.
         idx_dev = jnp.asarray(local_idx.reshape(k, idx_mat.shape[1]))
-        mask_dev = jnp.asarray(mask_mat[c0:c1], jnp.float32)
-        return chunk, idx_dev, mask_dev
+        mask_host = np.asarray(mask_mat[c0:c1], np.float32)
+        mask_dev = jnp.asarray(mask_host)
+        return chunk, idx_dev, mask_dev, mask_host
 
     starts = list(range(0, n_batches, chunk_batches))
     queue: "_c.deque" = _c.deque()

@@ -235,6 +235,10 @@ def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
             raise NotImplementedError(f"WFDB format {fmt} not supported")
         # Format 212 pads odd sample counts to a byte boundary; crop to
         # the header's declared length before de-interleaving channels.
+        # When the header omits the optional length field (n_samples==0)
+        # an odd-length 212 record is ambiguous by construction — like
+        # wfdb.rdsamp, we then infer length from the file size and a
+        # trailing padding-decoded sample is kept.
         if hdr.n_samples:
             digital = digital[: hdr.n_samples * hdr.n_sig]
         digital = digital[: (len(digital) // hdr.n_sig) * hdr.n_sig]

@@ -183,9 +183,12 @@ def tabnet_masks_report(model, variables, arrays, out_dir: str) -> list:
     _, _, m_explain, masks = model.apply(
         variables, jnp.asarray(arrays.clinical), method=masks_fn,
     )
+    # the reference's 2-feature clinical schema gets its real names;
+    # wider configs fall back to save_mask_heatmaps' var_i labels
+    names = ("AGE", "Wt") if enc.clinical_in_features == 2 else None
     paths = save_mask_heatmaps(
         np.asarray(m_explain), [np.asarray(m) for m in masks],
-        feature_names=("AGE", "Wt"),
+        feature_names=names,
         save_dir=os.path.join(out_dir, "tabnet"),
     )
     print(f"tabnet_masks: wrote {len(paths)} heatmaps")

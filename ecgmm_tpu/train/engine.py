@@ -472,7 +472,7 @@ def fit(
             )
             n_batches = idx.shape[0]
             chunk_mets: List[Dict[str, Any]] = []
-            for data_c, idx_c, mask_c in prefetch_chunks(
+            for data_c, idx_c, mask_c, _ in prefetch_chunks(
                 train_arrays, idx, mask, cfg.stream_chunk_batches,
                 mesh=mesh,
             ):
@@ -551,14 +551,16 @@ def fit(
             # than the per-batch loop (each fetch is a relay round trip).
             losses_l, logits_l, labels_l = [], [], []
             extra_l = {}
-            for data_c, idx_c, mask_c in prefetch_chunks(
+            for data_c, idx_c, mask_c, mask_h in prefetch_chunks(
                 val_arrays, vidx_h, vmask_h, cfg.stream_chunk_batches,
                 mesh=mesh,
             ):
                 vlosses, vlogits, vlabels, vmets = chunk_eval(
                     state, _device_arrays(data_c), idx_c, mask_c
                 )
-                keep = np.asarray(mask_c).reshape(-1) > 0
+                # host mask copy — the device mask would cost a relay
+                # round-trip fetch per chunk
+                keep = mask_h.reshape(-1) > 0
                 logits_l.append(
                     np.asarray(vlogits).reshape(-1, vlogits.shape[-1])[keep]
                 )

@@ -307,11 +307,13 @@ def run(cfg: Config, data: pipeline.MaterializedData,
             # see prefetch_chunks) stays within half the budget, leaving
             # the rest for params, optimizer state and activations;
             # ≥1 ⇒ per-batch streaming floor
-            batch_bytes = max(
+            # sized for the larger of the train/eval batch shapes — the
+            # engine reuses the same K for val chunks of eval_bs rows
+            row_bytes = max(
                 1,
-                pipeline.split_nbytes(data.train)
-                // pipeline.num_batches(data.train.n, t.batch_size),
+                pipeline.split_nbytes(data.train) // max(1, data.train.n),
             )
+            batch_bytes = max(1, row_bytes * max(t.batch_size, t.eval_bs))
             auto_k = max(1, budget // (6 * batch_bytes))
             env_k = os.environ.get("ECGMM_STREAM_CHUNK_BATCHES")
             t = dataclasses.replace(

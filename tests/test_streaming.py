@@ -178,8 +178,9 @@ def test_prefetch_chunks_plan_and_shapes(data64):
     )
     chunks = list(pipeline.prefetch_chunks(host, idx, mask, 2))
     assert [c[1].shape[0] for c in chunks] == [2, 1]  # 3 batches → 2+1
-    data_c, idx_c, mask_c = chunks[0]
+    data_c, idx_c, mask_c, mask_h = chunks[0]
     np.testing.assert_array_equal(np.asarray(mask_c), mask[:2])
+    np.testing.assert_array_equal(mask_h, mask[:2])  # host copy matches
     # row i of the chunk == planned global row
     flat = idx[:2].reshape(-1)
     np.testing.assert_array_equal(
