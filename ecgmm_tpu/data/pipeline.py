@@ -337,6 +337,19 @@ def fit_in_budget(arrays, hbm_budget_bytes: Optional[int]):
         else to_host_resident(arrays)
 
 
+def auto_chunk_batches(budget: int, split, batch_size: int,
+                       eval_batch_size: int = 0) -> int:
+    """Auto super-chunk size K for streamed splits: each chunk ≤ budget/6
+    so the engine's 3-deep transient (computing / dispatched / uploading —
+    prefetch_chunks) stays within half the budget, leaving the rest for
+    params, optimizer state and activations. Sized for the LARGER of the
+    train/eval batch shapes — the engine reuses the same K for val chunks
+    of eval_batch_size rows. Returns ≥1 (1 = per-batch streaming floor)."""
+    row_bytes = max(1, split_nbytes(split) // max(1, split.n))
+    rows = max(batch_size, eval_batch_size or batch_size)
+    return max(1, budget // (6 * row_bytes * rows))
+
+
 def resolve_hbm_budget() -> int:
     """The HBM byte budget for device-resident splits:
     `ECGMM_HBM_BUDGET_BYTES` when set; otherwise 60% of the device's

@@ -198,13 +198,66 @@ def cross_dataset_eval(
     return M.summarize_binary(probs, labels)
 
 
+def _cross_cli(args) -> None:
+    """`cross` mode body: load a trained ResNet1D-SE (reference .pth or
+    converted .msgpack), evaluate it on foreign digitized signals with
+    PTB-XL-matched preprocessing, print the metric JSON — the runnable
+    equivalent of `python evaluation_signal.py` (its hardcoded ckpt path
+    is `./checkpoints/signal/<ts>/best.pth`, evaluation_signal.py:176)."""
+    import json
+    import os
+
+    from ecgmm_tpu.config import DataConfig
+    from ecgmm_tpu.data import align, sources, synthetic
+    from ecgmm_tpu.models import ResNet1DSE
+    from ecgmm_tpu.tools import convert_pth
+
+    if args.pth:
+        variables = convert_pth.convert_resnet1d_se(
+            convert_pth.load_torch_state_dict(args.pth)
+        )
+    else:
+        variables = convert_pth.load_converted(args.ckpt)
+
+    if args.data_dir:
+        d = DataConfig(data_dir=args.data_dir)
+        labels_df, _, ecg = sources.load_hospital_tables(
+            os.path.join(d.data_dir, d.label_file),
+            os.path.join(d.data_dir, d.clinical_file),
+            os.path.join(d.data_dir, d.ecg_csv),
+        )
+        labels_df = align.filter_and_map_labels(labels_df)
+        common = sorted(set(labels_df["index"].astype(int)) & set(ecg.index))
+        signals = ecg.loc[common].to_numpy(np.float32)
+        labels = (
+            labels_df.set_index("index").loc[common]["label"]
+            .to_numpy(np.int64)
+        )
+    else:
+        cohort = synthetic.make_cohort(
+            n=args.n_synth, signal_len=args.length, img_hw=(16, 32)
+        )
+        signals, labels = cohort.signals, cohort.labels
+
+    model = ResNet1DSE(num_classes=2)
+    out = cross_dataset_eval(
+        model, variables, signals, labels, length=args.length
+    )
+    print(json.dumps({k: float(v) for k, v in out.items()}, indent=1))
+
+
 def main(argv=None):
     """CLI mirroring the reference's `python train_kfold.py` (nested
-    5×3 CV, train_kfold.py:135-178) and `python train_exhausted.py`
-    (all k×(k−1) pairs, train_exhausted.py:165-217):
+    5×3 CV, train_kfold.py:135-178), `python train_exhausted.py`
+    (all k×(k−1) pairs, train_exhausted.py:165-217) and
+    `python evaluation_signal.py` (cross-dataset evaluation of a trained
+    signal model with PTB-XL-matched preprocessing,
+    evaluation_signal.py:171-219):
 
         python -m ecgmm_tpu.train.cv nested --preset fusion
         python -m ecgmm_tpu.train.cv exhaustive --k 10 --max-pairs 10
+        python -m ecgmm_tpu.train.cv cross --pth best_ptbxl.pth \\
+            [--data-dir ./data]   # default: synthetic hospital cohort
     """
     import argparse
     import json
@@ -221,7 +274,7 @@ def main(argv=None):
         description=main.__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
-    p.add_argument("mode", choices=["nested", "exhaustive"])
+    p.add_argument("mode", choices=["nested", "exhaustive", "cross"])
     p.add_argument("--preset", default="fusion")
     p.add_argument("--n-synth", type=int, default=128)
     p.add_argument("--epochs", type=int, default=None)
@@ -230,7 +283,23 @@ def main(argv=None):
                    help="exhaustive mode: number of folds")
     p.add_argument("--max-pairs", type=int, default=None,
                    help="exhaustive mode: bound the 90-pair sweep")
+    p.add_argument("--pth", default=None,
+                   help="cross mode: reference ResNet1D-SE .pth ckpt")
+    p.add_argument("--ckpt", default=None,
+                   help="cross mode: converted .msgpack ckpt "
+                        "(tools.convert_pth output)")
+    p.add_argument("--data-dir", default=None,
+                   help="cross mode: hospital-layout data dir "
+                        "(default: synthetic cohort)")
+    p.add_argument("--length", type=int, default=2476,
+                   help="cross mode: pad/crop length (reference "
+                        "evaluation_signal.py:36-38)")
     args = p.parse_args(argv)
+
+    if args.mode == "cross":
+        if not (args.pth or args.ckpt):
+            p.error("cross mode needs --pth or --ckpt")
+        return _cross_cli(args)
     if args.preset in ("signal_12lead", "physionet_crnn"):
         p.error(
             f"preset {args.preset!r} needs multi-lead / spectrogram "

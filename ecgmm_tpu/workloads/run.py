@@ -302,19 +302,9 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         )
         if (t.stream_chunk_batches == 0
                 and isinstance(data.train, pipeline.HostArrays)):
-            # auto super-chunk: each chunk ≤ budget/6, so the engine's
-            # 3-deep transient (computing / dispatched / uploading —
-            # see prefetch_chunks) stays within half the budget, leaving
-            # the rest for params, optimizer state and activations;
-            # ≥1 ⇒ per-batch streaming floor
-            # sized for the larger of the train/eval batch shapes — the
-            # engine reuses the same K for val chunks of eval_bs rows
-            row_bytes = max(
-                1,
-                pipeline.split_nbytes(data.train) // max(1, data.train.n),
+            auto_k = pipeline.auto_chunk_batches(
+                budget, data.train, t.batch_size, t.eval_bs
             )
-            batch_bytes = max(1, row_bytes * max(t.batch_size, t.eval_bs))
-            auto_k = max(1, budget // (6 * batch_bytes))
             env_k = os.environ.get("ECGMM_STREAM_CHUNK_BATCHES")
             t = dataclasses.replace(
                 t,

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -85,3 +86,23 @@ def test_nested_cv_fusion_cached_embeddings(mesh8):
     )
     assert len(out["outer_aucs"]) == 2
     assert np.isfinite(out["mean_auc"])
+
+
+def test_cross_cli_with_shipped_ckpt(capsys):
+    """`python -m ecgmm_tpu.train.cv cross --pth ...` — the runnable
+    equivalent of the reference's evaluation_signal.py — prints a JSON
+    metric summary."""
+    import json
+
+    cv.main([
+        "cross", "--pth", "/root/reference/best_ptbxl.pth",
+        "--n-synth", "16",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"accuracy", "f1", "auroc"}
+    assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_cross_cli_requires_checkpoint():
+    with pytest.raises(SystemExit):
+        cv.main(["cross"])

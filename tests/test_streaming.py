@@ -219,3 +219,20 @@ def test_over_budget_training_runs_end_to_end(mesh8, tmp_path):
     assert np.isfinite(result.history[-1]["Loss/Train"])
     assert np.isfinite(result.history[-1]["Loss/Val"])
     assert ckpt.exists("last") and ckpt.exists("best")
+
+
+def test_auto_chunk_batches_sizes_for_eval_batches(data64):
+    """Auto-K must bound the 3-deep chunk transient for BOTH loops: with
+    eval_batch_size > batch_size the val chunks are the larger shape, so
+    K shrinks accordingly (the round-3 review finding)."""
+    host = pipeline.to_host_resident(data64.train)
+    row = pipeline.split_nbytes(host) // host.n
+    budget = row * 16 * 6 * 4  # fits K=4 chunks of 16-row batches
+
+    assert pipeline.auto_chunk_batches(budget, host, 16) == 4
+    # 4× larger eval batches → 4× smaller K
+    assert pipeline.auto_chunk_batches(budget, host, 16, 64) == 1
+    # eval_batch_size=0 means "same as batch_size"
+    assert pipeline.auto_chunk_batches(budget, host, 16, 0) == 4
+    # floor at 1 (per-batch streaming), never 0
+    assert pipeline.auto_chunk_batches(1, host, 16, 64) == 1
