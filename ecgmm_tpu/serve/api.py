@@ -702,14 +702,24 @@ class ServingPipeline:
         return resp
 
 
+# Upper bound on accepted request bodies (the app uploads one phone photo
+# — a few MB; anything near this size is abuse or a client bug) so a bogus
+# Content-Length can't make the server allocate unbounded memory.
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
+
+
+class BadRequest(ValueError):
+    """Client-side request defect → HTTP 400 with a JSON error body."""
+
+
 def make_handler(pipeline: ServingPipeline):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
 
-        def _send_json(self, obj):
+        def _send_json(self, obj, code: int = 200):
             body = json.dumps(obj).encode()
-            self.send_response(200)
+            self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -739,37 +749,54 @@ def make_handler(pipeline: ServingPipeline):
                 self.send_error(404)
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    raise BadRequest("invalid Content-Length header")
+                if length <= 0:
+                    raise BadRequest("empty request body")
+                if length > MAX_REQUEST_BYTES:
+                    self._send_json(
+                        {"error": "request body exceeds "
+                                  f"{MAX_REQUEST_BYTES} bytes"},
+                        code=413,
+                    )
+                    return
                 body = self.rfile.read(length)
-                fields = parse_multipart(
-                    body, self.headers.get("Content-Type", "")
-                )
+                try:
+                    fields = parse_multipart(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                except ValueError as e:
+                    raise BadRequest(str(e))
+                if "file" not in fields:
+                    raise BadRequest("missing multipart field 'file'")
                 from PIL import Image
 
-                img = np.asarray(
-                    Image.open(io.BytesIO(fields["file"])).convert("RGB")
-                )
-                questionnaire = json.loads(
-                    fields.get("questionnaire", b"{}").decode()
-                )
+                try:
+                    img = np.asarray(
+                        Image.open(io.BytesIO(fields["file"])).convert("RGB")
+                    )
+                except Exception:
+                    raise BadRequest("'file' is not a decodable image")
+                try:
+                    questionnaire = json.loads(
+                        fields.get("questionnaire", b"{}").decode()
+                    )
+                except (UnicodeDecodeError, json.JSONDecodeError):
+                    raise BadRequest("questionnaire is not valid JSON")
+                if not isinstance(questionnaire, dict):
+                    raise BadRequest("questionnaire must be a JSON object")
                 fmt = fields.get("heatmap_format", b"png").decode()
                 if fmt not in ("png", "jpeg", "cam"):
                     fmt = "png"
                 result = pipeline.predict(img, questionnaire,
                                           heatmap_format=fmt)
-                payload = json.dumps(result).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                self._send_json(result)
+            except BadRequest as e:
+                self._send_json({"error": str(e)}, code=400)
             except Exception as e:  # pragma: no cover - defensive
-                msg = json.dumps({"error": str(e)}).encode()
-                self.send_response(500)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(msg)))
-                self.end_headers()
-                self.wfile.write(msg)
+                self._send_json({"error": str(e)}, code=500)
 
     return Handler
 

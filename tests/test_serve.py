@@ -220,6 +220,71 @@ def test_web_client_page(server):
     assert "feature_importance" in html
 
 
+def _post_raw(server, body, ctype="multipart/form-data; boundary=b",
+              headers=None):
+    req = urllib.request.Request(
+        server + ENDPOINT, data=body,
+        headers={"Content-Type": ctype, **(headers or {})}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=60)
+
+
+def test_http_endpoint_client_errors_are_400(server):
+    """Validation failures must be 400s with a JSON error, not blanket
+    500s: missing file field, undecodable image, malformed questionnaire,
+    non-object questionnaire, missing multipart boundary."""
+    good_img = io.BytesIO()
+    from PIL import Image
+
+    Image.fromarray(
+        np.zeros((20, 40, 3), np.uint8)
+    ).save(good_img, format="JPEG")
+
+    cases = []
+    body, ctype = _multipart({"notfile": (None, b"x")})
+    cases.append((body, ctype, "missing multipart field 'file'"))
+    body, ctype = _multipart({"file": ("f.jpg", b"not an image")})
+    cases.append((body, ctype, "not a decodable image"))
+    body, ctype = _multipart({
+        "file": ("f.jpg", good_img.getvalue()),
+        "questionnaire": (None, b"{broken"),
+    })
+    cases.append((body, ctype, "not valid JSON"))
+    body, ctype = _multipart({
+        "file": ("f.jpg", good_img.getvalue()),
+        "questionnaire": (None, b"[1, 2]"),
+    })
+    cases.append((body, ctype, "must be a JSON object"))
+    cases.append((b"xx", "application/octet-stream", "boundary"))
+
+    for body, ctype, want in cases:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_raw(server, body, ctype)
+        assert e.value.code == 400, want
+        assert want in json.loads(e.value.read())["error"]
+
+
+def test_http_endpoint_oversize_body_is_413(server):
+    """A huge claimed Content-Length must be rejected BEFORE the server
+    allocates for it (no body of that size is ever sent)."""
+    import http.client
+
+    from ecgmm_tpu.serve.api import MAX_REQUEST_BYTES
+
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        conn.putrequest("POST", ENDPOINT)
+        conn.putheader("Content-Type", "multipart/form-data; boundary=b")
+        conn.putheader("Content-Length", str(MAX_REQUEST_BYTES + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "exceeds" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
 def test_http_endpoint_404(server):
     req = urllib.request.Request(
         server + "/nope", data=b"x", method="POST"
