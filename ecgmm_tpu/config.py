@@ -114,6 +114,12 @@ class TrainConfig:
     num_epochs: int = 30
     lr: float = 1e-4
     weight_decay: float = 0.0
+    # Early stop / plateau-decay patience; 0 disables the mechanism.
+    # Several reference trainers ship with early stopping commented out
+    # (train_signal_only.py:301-304, train_physionet2.py:226-229) or never
+    # incremented (train_physionet.py:288, train_signal_only_ptb.py), and
+    # only train.py / train_paper_modal_balance.py have the LR÷10 plateau
+    # block — the presets below disable what each trainer doesn't do.
     patience: int = 5  # early stop
     plateau_patience: int = 2  # epochs of no val improvement before LR decay
     plateau_factor: float = 0.1  # LR ÷ 10 (train.py:157-163)
@@ -184,17 +190,21 @@ def fusion_modal_balance_preset() -> Config:
 
 
 def image_only_preset() -> Config:
-    """Image-only ResNet18 (reference train_image_only.py)."""
+    """Image-only ResNet18 (reference train_image_only.py): bs 16,
+    constant lr 1e-4, CE, early stop 5; unlike train.py it has NO
+    plateau LR decay (train_image_only.py:160-174)."""
     return Config(
         name="image_only",
-        train=TrainConfig(lr=1e-4, freeze_encoders=False),
+        train=TrainConfig(lr=1e-4, freeze_encoders=False,
+                          plateau_patience=0),
     )
 
 
 def signal_only_preset() -> Config:
     """Signal-only ResNet1D-SE on hospital CSVs
     (reference train_signal_only.py:115,234-238: bs 8, lr 1e-3, focal,
-    OneCycle)."""
+    OneCycle; early stopping is commented out there, :301-304 — the
+    trainer runs all 30 epochs, keeping the best-val-loss checkpoint)."""
     return Config(
         name="signal_only",
         train=TrainConfig(
@@ -204,13 +214,15 @@ def signal_only_preset() -> Config:
             schedule="onecycle",
             onecycle_peak_lr=1e-3,
             freeze_encoders=False,
+            patience=0,
         ),
     )
 
 
 def ptbxl_preset() -> Config:
     """PTB-XL AF-vs-other-rhythm task (reference train_signal_only_ptb.py:
-    bs 16, 10 epochs, weighted sampling, 60/20/20 split, len 2476)."""
+    bs 16, 10 epochs, weighted sampling, 60/20/20 split, len 2476; no
+    early-stop counter exists there — best-by-val-loss only, :256-291)."""
     return Config(
         name="ptbxl_af",
         train=TrainConfig(
@@ -220,21 +232,25 @@ def ptbxl_preset() -> Config:
             loss="focal",
             schedule="onecycle",
             freeze_encoders=False,
+            patience=0,
         ),
     )
 
 
 def physionet_preset() -> Config:
-    """PhysioNet/CinC 2017 binary task (reference train_physionet.py)."""
+    """PhysioNet/CinC 2017 binary task (reference train_physionet.py:
+    bs 8 :128-130, OneCycle max 1e-3 over 30 epochs :278-281, focal;
+    its early-stop counter is initialised but never incremented :288)."""
     return Config(
         name="physionet",
         data=DataConfig(signal_len=3000, signal_fs=300.0),
         train=TrainConfig(
-            batch_size=32,
+            batch_size=8,
             lr=1e-3,
             loss="focal",
             schedule="onecycle",
             freeze_encoders=False,
+            patience=0,
         ),
     )
 
@@ -261,17 +277,34 @@ def signal_arr_preset() -> Config:
 
 def signal_12lead_preset() -> Config:
     """12-lead AF task (reference train_signal_12_af.py:246:
-    ResNet1D_SE(input_channels=12))."""
+    ResNet1D_SE(input_channels=12)). Unlike the other signal trainers its
+    early stopping IS active (patience 5, train_signal_12_af.py:312-316)."""
+    base = signal_only_preset()
     return dataclasses.replace(
-        signal_only_preset(),
+        base,
         name="signal_12lead",
         model=ModelConfig(signal_input_channels=12),
+        train=dataclasses.replace(base.train, patience=5),
     )
 
 
 def physionet_crnn_preset() -> Config:
-    """Spectrogram CRNN on PhysioNet (reference train_physionet2.py)."""
-    return dataclasses.replace(physionet_preset(), name="physionet_crnn")
+    """Spectrogram CRNN on PhysioNet (reference train_physionet2.py:
+    bs 16 and lr 1e-4 come from Config :163-170, plain constant-LR Adam —
+    no scheduler and no plateau block — and early stopping is commented
+    out :226-229)."""
+    base = physionet_preset()
+    return dataclasses.replace(
+        base,
+        name="physionet_crnn",
+        train=dataclasses.replace(
+            base.train,
+            batch_size=16,
+            lr=1e-4,
+            schedule="constant",
+            plateau_patience=0,
+        ),
+    )
 
 
 def physionet_transformer_preset() -> Config:

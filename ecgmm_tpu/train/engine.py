@@ -10,7 +10,10 @@ The reference's implicit single-GPU epoch loop
     and cross-replica BatchNorm moments are XLA `psum`s over ICI inserted
     by GSPMD; there is no hand-written collective.
   * a host loop that only orchestrates: epoch iteration, plateau LR decay
-    (÷10 after 2 stale epochs), early stopping (patience 5), best/last
+    (÷10 after 2 stale epochs), early stopping (patience 5; several
+    reference trainers ship with early stop commented out / absent, so
+    patience=0 / plateau_patience=0 disable them — see config presets),
+    best/last
     checkpoints, TensorBoard scalars — exactly the reference's control
     semantics (train.py:142-167), with the counters living inside the
     checkpointable TrainState.
@@ -665,7 +668,8 @@ def fit(
                 early_stop_counter=state.early_stop_counter + 1,
                 lr_reduce_counter=state.lr_reduce_counter + 1,
             )
-            if int(state.lr_reduce_counter) >= cfg.plateau_patience:
+            if (cfg.plateau_patience > 0
+                    and int(state.lr_reduce_counter) >= cfg.plateau_patience):
                 if optim_lib.get_lr(state.opt_state) is not None:
                     state = dataclasses.replace(
                         state,
@@ -681,7 +685,8 @@ def fit(
                 ckpt.save("best", state)
                 ckpt.save_epoch(epoch + 1, state)
 
-        if not improved and int(state.early_stop_counter) >= cfg.patience:
+        if (cfg.patience > 0 and not improved
+                and int(state.early_stop_counter) >= cfg.patience):
             stopped_early = True
             break
 

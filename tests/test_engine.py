@@ -142,6 +142,47 @@ def test_plateau_and_early_stop(small_data, monkeypatch, mesh8):
     assert result.best_epoch == 0
 
 
+def test_patience_zero_disables_early_stop_and_plateau(
+        small_data, monkeypatch, mesh8):
+    """patience=0 / plateau_patience=0 must disable early stopping and
+    plateau LR decay — the semantics of the reference trainers that ship
+    with early stopping commented out and no plateau block
+    (train_signal_only.py:301-304, train_physionet2.py:226-229)."""
+    cfg = TrainConfig(
+        batch_size=32, num_epochs=8, lr=1e-3, schedule="constant",
+        patience=0, plateau_patience=0,
+    )
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+
+    seq = iter([1.0] + [2.0] * 20)
+
+    def fake_make_eval_epoch(task_, arrays, mesh=None):
+        def epoch_fn(st, idx, mask):
+            loss = next(seq)
+            return (
+                jnp.full((idx.shape[0],), loss),
+                jnp.zeros(tuple(idx.shape) + (2,), jnp.float32),
+                jnp.zeros(tuple(idx.shape), jnp.int32),
+                {},
+            )
+
+        return epoch_fn
+
+    monkeypatch.setattr(engine, "make_eval_epoch", fake_make_eval_epoch)
+    result = engine.fit(
+        task, state, tx, small_data.train, small_data.val, cfg,
+        mesh=mesh8, verbose=False,
+    )
+    # never stops early: all 8 epochs run despite 7 stale ones
+    assert not result.stopped_early
+    assert len(result.history) == 8
+    # LR never plateau-decayed
+    lr = optim_lib.get_lr(result.state.opt_state)
+    assert lr == pytest.approx(1e-3, rel=1e-6)
+    assert result.best_epoch == 0
+
+
 def test_checkpoint_roundtrip(small_data, tmp_path, mesh8):
     cfg = TrainConfig(batch_size=16, num_epochs=2, lr=1e-3, patience=10)
     model, tx, state = _signal_setup(cfg)
