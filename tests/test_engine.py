@@ -228,6 +228,39 @@ def test_onecycle_schedule_runs(small_data, mesh8):
     assert np.isfinite(result.history[-1]["Loss/Train"])
 
 
+def test_onecycle_schedule_matches_torch_onecyclelr():
+    """The optim.py claim that optax.cosine_onecycle_schedule defaults
+    equal torch OneCycleLR defaults (cos anneal, pct_start .3, div 25,
+    final_div 1e4 — the scheduler the reference signal trainers use,
+    train_signal_only.py:236-238) must hold numerically: same start LR,
+    same peak, ≤1% relative deviation at every step."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    S, E = 13, 30  # deliberately non-round steps/epoch
+    total = S * E
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.Adam(m.parameters(), lr=1e-3)
+    sch = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=1e-3, steps_per_epoch=S, epochs=E
+    )
+    torch_lrs = []
+    for _ in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sch.step()
+    torch_lrs = np.asarray(torch_lrs)
+
+    sched = optax.cosine_onecycle_schedule(
+        transition_steps=total, peak_value=1e-3
+    )
+    ours = np.asarray([float(sched(i)) for i in range(total)])
+
+    assert ours[0] == pytest.approx(torch_lrs[0], rel=1e-3)  # peak/25
+    assert ours.max() == pytest.approx(1e-3, rel=1e-3)
+    np.testing.assert_allclose(ours, torch_lrs, rtol=0, atol=1e-5)
+
+
 def test_last_checkpoint_carries_updated_counters(small_data, tmp_path,
                                                   mesh8):
     """'last' must be written AFTER best_val_loss / early-stop counters are

@@ -109,3 +109,30 @@ def test_summarize_binary(binary_case):
     assert out["auroc"] == pytest.approx(
         roc_auc_score(labels, scores), abs=1e-6
     )
+
+
+def test_losses_match_torch_reference(rng):
+    """cross_entropy and focal_loss must reproduce the reference's torch
+    formulations bit-for-bit at f32: F.cross_entropy for CE
+    (train.py:69-78) and the exp(-CE)-based FocalLoss(alpha=1, gamma=2)
+    of signal_model.py:91-106."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ecgmm_tpu.train import losses as L
+
+    logits = rng.normal(0, 2, (64, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, 64).astype(np.int64)
+    tl, ty = torch.tensor(logits), torch.tensor(labels)
+
+    ce_torch = float(F.cross_entropy(tl, ty))
+    assert float(
+        L.cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    ) == pytest.approx(ce_torch, rel=1e-6)
+
+    bce = F.cross_entropy(tl, ty, reduction="none")
+    pt = torch.exp(-bce)
+    focal_torch = float((1.0 * (1 - pt) ** 2.0 * bce).mean())
+    assert float(
+        L.focal_loss(jnp.asarray(logits), jnp.asarray(labels))
+    ) == pytest.approx(focal_torch, rel=1e-6)
