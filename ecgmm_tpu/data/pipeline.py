@@ -460,12 +460,12 @@ def load_materialized(
     cache_dir: str, hbm_budget_bytes: Optional[int] = None,
     expect_meta: Optional[dict] = None,
 ) -> MaterializedData:
-    """Reopen a `save_materialized` cache. train/val splits that exceed
-    the budget stay memory-mapped HostArrays and stream (never copied
-    into RAM, never into HBM); in-budget splits are promoted to
-    device-resident Arrays, exactly as a fresh materialization would
-    produce. The test split is always promoted — the one-dispatch scan
-    test protocol needs a device pool.
+    """Reopen a `save_materialized` cache. Splits that exceed the budget
+    stay memory-mapped HostArrays and stream (never copied into RAM,
+    never into HBM) — including the test split, whose protocol streams
+    via engine.evaluate_streamed when over budget; in-budget splits are
+    promoted to device-resident Arrays, exactly as a fresh
+    materialization would produce.
 
     expect_meta: the requesting run's configuration fingerprint; when the
     cache carries a meta.json (written by save_materialized) the two are
@@ -497,10 +497,9 @@ def load_materialized(
     budget = hbm_budget_bytes if hbm_budget_bytes is not None \
         else resolve_hbm_budget()
 
-    def split(name, always_promote=False):
+    def split(name):
         host = _load_split(os.path.join(cache_dir, name), mmap=True)
-        if always_promote or not budget or \
-                split_nbytes(host) <= budget:
+        if not budget or split_nbytes(host) <= budget:
             return _promote(host)
         return host
 
@@ -516,7 +515,7 @@ def load_materialized(
     return MaterializedData(
         train=split("train"),
         val=split("val"),
-        test=split("test", always_promote=True),
+        test=split("test"),
         ecg_scaler=scaler("ecg"),
         clinical_scaler=scaler("clinical"),
     )

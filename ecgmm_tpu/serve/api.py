@@ -36,6 +36,7 @@ import numpy as np
 
 from ecgmm_tpu.config import ModelConfig
 from ecgmm_tpu.data import preprocess
+from ecgmm_tpu.serve import batching
 from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image, overlay_heatmap
 from ecgmm_tpu.explain.shap_fusion import gradient_shap, modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
@@ -83,7 +84,14 @@ def encode_multipart(
 ) -> Tuple[bytes, str]:
     """Inverse of parse_multipart: {name: (filename|None, content)} →
     (body, Content-Type). The single encoder shared by the client tools
-    and the HTTP tests, so both stay in sync with the parser."""
+    and the HTTP tests, so both stay in sync with the parser. If any
+    field's raw bytes happen to contain the boundary (possible for
+    arbitrary binary like compressed JPEGs), the boundary is lengthened
+    until it collides with nothing — a fixed unchecked boundary would
+    silently truncate the upload at the parser."""
+    blobs = [content for _, content in fields.values()]
+    while any(boundary.encode() in c for c in blobs):
+        boundary += "x"
     lines = []
     for name, (filename, content) in fields.items():
         lines.append(f"--{boundary}".encode())
@@ -615,7 +623,11 @@ class ServingPipeline:
         if batcher is not None:
             try:
                 (row,) = batcher.submit(img_norm[0], sig[0], clin[0])
-            except RuntimeError:  # "MicroBatcher is closed" race
+            except batching.BatcherClosed:
+                # close_batching() raced this request: it was never
+                # dispatched, so quietly take the unbatched path. A
+                # BatchDispatchError, by contrast, propagates — a failing
+                # batched program must surface, not silently degrade.
                 row = None
         if row is not None:
             probs_a, pred, cam, attr, ca_a = self._unpack(row)
@@ -787,9 +799,18 @@ def make_handler(pipeline: ServingPipeline):
                     raise BadRequest("questionnaire is not valid JSON")
                 if not isinstance(questionnaire, dict):
                     raise BadRequest("questionnaire must be a JSON object")
-                fmt = fields.get("heatmap_format", b"png").decode()
+                try:
+                    fmt = fields.get("heatmap_format", b"png").decode()
+                except UnicodeDecodeError:
+                    raise BadRequest("heatmap_format is not valid UTF-8")
                 if fmt not in ("png", "jpeg", "cam"):
-                    fmt = "png"
+                    # Reject rather than coerce: a typo like "jpg" silently
+                    # falling back to the expensive PNG path would look
+                    # like the opt-in works when it doesn't.
+                    raise BadRequest(
+                        f"unknown heatmap_format {fmt!r}; "
+                        "expected png, jpeg or cam"
+                    )
                 result = pipeline.predict(img, questionnaire,
                                           heatmap_format=fmt)
                 self._send_json(result)

@@ -42,6 +42,18 @@ class _Pending:
     error: Optional[BaseException] = None
 
 
+class BatcherClosed(RuntimeError):
+    """submit() raced a close(): the request was never dispatched and can
+    safely be retried on the unbatched path. Distinct from a dispatch
+    FAILURE (wrapped as BatchDispatchError), which must surface."""
+
+
+class BatchDispatchError(RuntimeError):
+    """The batched device program itself failed; the underlying exception
+    is ``__cause__``. Callers must NOT silently fall back on this one —
+    a persistently failing batched path should be visible."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-sample requests into bucketed batches.
 
@@ -95,7 +107,7 @@ class MicroBatcher:
         item = _Pending(tuple(np.asarray(a) for a in args))
         with self._not_empty:
             if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
+                raise BatcherClosed("MicroBatcher is closed")
             self._pending.append(item)
             self._not_empty.notify()
         item.event.wait()
@@ -163,7 +175,7 @@ class MicroBatcher:
                     with self._lock:
                         leftovers, self._pending = self._pending, []
                     for p in leftovers:
-                        p.error = RuntimeError("MicroBatcher closed")
+                        p.error = BatcherClosed("MicroBatcher closed")
                         p.event.set()
                     return
                 continue
@@ -192,7 +204,9 @@ class MicroBatcher:
                 # concurrently mutates its __traceback__ and interleaves
                 # the printed tracebacks.
                 for p in batch:
-                    err = RuntimeError(f"batched dispatch failed: {e!r}")
+                    err = BatchDispatchError(
+                        f"batched dispatch failed: {e!r}"
+                    )
                     err.__cause__ = e
                     p.error = err
                     p.event.set()

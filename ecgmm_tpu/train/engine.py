@@ -34,7 +34,13 @@ import numpy as np
 import optax
 
 from ecgmm_tpu.config import TrainConfig
-from ecgmm_tpu.data.pipeline import Arrays, Batch, iterate_batches
+from ecgmm_tpu.data.pipeline import (
+    Arrays,
+    Batch,
+    iterate_batches,
+    prefetch_batches,
+    prefetch_chunks,
+)
 from ecgmm_tpu.parallel import place_state
 from ecgmm_tpu.train import optim as optim_lib
 from ecgmm_tpu.train.checkpoint import CheckpointManager
@@ -370,6 +376,94 @@ def evaluate_scan(
     return _scan_eval_result(losses, logits, labels, mask, mets)
 
 
+def _eval_streamed_chunked(
+    chunk_eval, state: TrainState, arrays, batch_size: int,
+    chunk_batches: int, mesh=None,
+) -> EvalResult:
+    """Streamed eval over a HostArrays split, K planned batches per scan
+    dispatch: ~K× fewer dispatches AND ~K× fewer device→host fetches than
+    the per-batch loop (each fetch is a relay round trip)."""
+    idx_h, mask_h_all = epoch_indices(
+        arrays.n, batch_size, shuffle=False, seed=0, epoch=0
+    )
+    losses_l, logits_l, labels_l = [], [], []
+    extra_l: Dict[str, List[float]] = {}
+    for data_c, idx_c, mask_c, mask_h in prefetch_chunks(
+        arrays, idx_h, mask_h_all, chunk_batches, mesh=mesh
+    ):
+        vlosses, vlogits, vlabels, vmets = chunk_eval(
+            state, _device_arrays(data_c), idx_c, mask_c
+        )
+        # host mask copy — the device mask would cost a relay
+        # round-trip fetch per chunk
+        keep = mask_h.reshape(-1) > 0
+        logits_l.append(
+            np.asarray(vlogits).reshape(-1, vlogits.shape[-1])[keep]
+        )
+        labels_l.append(np.asarray(vlabels).reshape(-1)[keep])
+        losses_l.extend(np.asarray(vlosses).tolist())
+        for k, v in vmets.items():
+            extra_l.setdefault(k, []).extend(
+                np.asarray(v).reshape(-1).tolist()
+            )
+    return _assemble_eval(losses_l, logits_l, labels_l, extra_l)
+
+
+def _eval_streamed_perbatch(
+    stream_eval_step, state: TrainState, arrays, batch_size: int,
+    mesh=None,
+) -> EvalResult:
+    """Per-batch streamed eval over a HostArrays split. Dispatches ahead,
+    holding only device refs — a float()/np.asarray() on every batch would
+    block on a ~25 ms relay round trip each and serialize the host→device
+    prefetch pipeline; the windowed sync bounds in-flight batches, and the
+    single epoch-end sync converts finished results."""
+    outs, masks_d, labels_d = [], [], []
+    for batch in prefetch_batches(
+        arrays, batch_size, shuffle=False, seed=0, epoch=0, mesh=mesh,
+    ):
+        outs.append(stream_eval_step(state, batch))
+        masks_d.append(batch.mask)
+        labels_d.append(batch.labels)
+        if len(outs) > _STREAM_SYNC_WINDOW:
+            jax.block_until_ready(outs[-_STREAM_SYNC_WINDOW - 1]["loss"])
+    losses_l, logits_l, labels_l = [], [], []
+    extra_l: Dict[str, List[float]] = {}
+    for out, mask_d, lab_d in zip(outs, masks_d, labels_d):
+        keep = np.asarray(mask_d) > 0
+        losses_l.append(float(out["loss"]))
+        logits_l.append(np.asarray(out["logits"])[keep])
+        labels_l.append(np.asarray(lab_d)[keep])
+        for k, v in out["mets"].items():
+            if np.ndim(v) == 0:  # scalars (e.g. var_loss)
+                extra_l.setdefault(k, []).append(float(v))
+    return _assemble_eval(losses_l, logits_l, labels_l, extra_l)
+
+
+def evaluate_streamed(
+    task: Task, state: TrainState, arrays, batch_size: int,
+    mesh=None, stream_chunk_batches: int = 0,
+) -> EvalResult:
+    """`evaluate` semantics for an over-HBM-budget HostArrays split: the
+    data never gets a full device copy. Chunked (one scan dispatch per K
+    batches) when stream_chunk_batches > 1, per-batch otherwise — the
+    same two paths the in-fit streamed validation uses."""
+    if arrays.n == 0:
+        return EvalResult(
+            loss=float("nan"), accuracy=float("nan"),
+            logits=np.zeros((0, 2), np.float32),
+            labels=np.zeros((0,), np.int64), metrics={},
+        )
+    if stream_chunk_batches > 1:
+        return _eval_streamed_chunked(
+            _make_eval_program(task, mesh=mesh), state, arrays,
+            batch_size, stream_chunk_batches, mesh=mesh,
+        )
+    return _eval_streamed_perbatch(
+        make_eval_step(task), state, arrays, batch_size, mesh=mesh
+    )
+
+
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
@@ -419,11 +513,7 @@ def fit(
     # device dispatch through the same scan-epoch program the resident
     # path uses (cuts the per-dispatch relay tax ~K×). Device-resident
     # splits use the one-dispatch scan-epoch program.
-    from ecgmm_tpu.data.pipeline import (
-        HostArrays,
-        prefetch_batches,
-        prefetch_chunks,
-    )
+    from ecgmm_tpu.data.pipeline import HostArrays
 
     train_streamed = isinstance(train_arrays, HostArrays)
     val_streamed = isinstance(val_arrays, HostArrays)
@@ -450,16 +540,13 @@ def fit(
         # mesh has a real model axis (tensor parallelism, parallel/tp.py)
         state = place_state(state, mesh)
 
-    # fixed validation plan (no shuffle) — computed once
+    # fixed validation plan (no shuffle) — computed once; the streamed
+    # paths plan per call inside the _eval_streamed_* helpers
     if val_arrays.n > 0 and not val_streamed:
         vidx, vmask = epoch_indices(
             val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
         )
         vidx, vmask = jnp.asarray(vidx), jnp.asarray(vmask)
-    elif val_chunked and val_arrays.n > 0:
-        vidx_h, vmask_h = epoch_indices(
-            val_arrays.n, cfg.eval_bs, shuffle=False, seed=0, epoch=0
-        )
 
     history: List[Dict[str, float]] = []
     best_epoch = -1
@@ -548,63 +635,15 @@ def fit(
         last_mets: Dict[str, Any] = tm
 
         if val_chunked and val_arrays.n > 0:
-            # Chunked streamed eval: K planned batches per scan dispatch,
-            # logits/losses come back as ONE stacked array per chunk —
-            # ~K× fewer dispatches AND ~K× fewer device→host fetches
-            # than the per-batch loop (each fetch is a relay round trip).
-            losses_l, logits_l, labels_l = [], [], []
-            extra_l = {}
-            for data_c, idx_c, mask_c, mask_h in prefetch_chunks(
-                val_arrays, vidx_h, vmask_h, cfg.stream_chunk_batches,
-                mesh=mesh,
-            ):
-                vlosses, vlogits, vlabels, vmets = chunk_eval(
-                    state, _device_arrays(data_c), idx_c, mask_c
-                )
-                # host mask copy — the device mask would cost a relay
-                # round-trip fetch per chunk
-                keep = mask_h.reshape(-1) > 0
-                logits_l.append(
-                    np.asarray(vlogits).reshape(-1, vlogits.shape[-1])[keep]
-                )
-                labels_l.append(np.asarray(vlabels).reshape(-1)[keep])
-                losses_l.extend(np.asarray(vlosses).tolist())
-                for k, v in vmets.items():
-                    extra_l.setdefault(k, []).extend(
-                        np.asarray(v).reshape(-1).tolist()
-                    )
-            val = _assemble_eval(losses_l, logits_l, labels_l, extra_l)
+            val = _eval_streamed_chunked(
+                chunk_eval, state, val_arrays, cfg.eval_bs,
+                cfg.stream_chunk_batches, mesh=mesh,
+            )
         elif val_streamed and val_arrays.n > 0:
-            # Dispatch ahead, holding only device refs — a
-            # float()/np.asarray() on every batch would block on a
-            # ~25 ms relay round trip each and serialize the
-            # host→device prefetch pipeline; the windowed sync below
-            # bounds in-flight batches instead.
-            outs, masks_d, labels_d = [], [], []
-            for batch in prefetch_batches(
-                val_arrays, cfg.eval_bs, shuffle=False, seed=0, epoch=0,
+            val = _eval_streamed_perbatch(
+                stream_eval_step, state, val_arrays, cfg.eval_bs,
                 mesh=mesh,
-            ):
-                outs.append(stream_eval_step(state, batch))
-                masks_d.append(batch.mask)
-                labels_d.append(batch.labels)
-                if len(outs) > _STREAM_SYNC_WINDOW:
-                    jax.block_until_ready(
-                        outs[-_STREAM_SYNC_WINDOW - 1]["loss"]
-                    )
-            # one sync at epoch end: the first conversion waits for the
-            # queued work, the rest are transfers of finished results
-            losses_l, logits_l, labels_l = [], [], []
-            extra_l: Dict[str, List[float]] = {}
-            for out, mask_d, lab_d in zip(outs, masks_d, labels_d):
-                keep = np.asarray(mask_d) > 0
-                losses_l.append(float(out["loss"]))
-                logits_l.append(np.asarray(out["logits"])[keep])
-                labels_l.append(np.asarray(lab_d)[keep])
-                for k, v in out["mets"].items():
-                    if np.ndim(v) == 0:  # scalars (e.g. var_loss)
-                        extra_l.setdefault(k, []).append(float(v))
-            val = _assemble_eval(losses_l, logits_l, labels_l, extra_l)
+            )
         elif val_arrays.n > 0:
             vlosses, vlogits, vlabels, vmets = eval_epoch(state, vidx, vmask)
             val = _scan_eval_result(vlosses, vlogits, vlabels, vmask, vmets)

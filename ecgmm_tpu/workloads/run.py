@@ -290,15 +290,20 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES, else 60% of
     # the device's reported limit, else unlimited — pipeline.
     # resolve_hbm_budget) stay host-resident and stream through the
-    # engine's double-buffered prefetch path. Test stays device-resident
-    # (≈10% of the cohort; the one-dispatch evaluate_scan test protocol
-    # needs a device pool).
+    # engine's double-buffered prefetch path. That includes the test
+    # split: it is usually small enough to promote (≈10% of the cohort,
+    # and the one-dispatch evaluate_scan protocol wants a device pool),
+    # but at the scales the streaming path exists for, 10% of the
+    # dataset can itself exceed HBM — then the test protocol streams too
+    # (engine.evaluate_streamed) instead of OOMing on an unconditional
+    # upload.
     budget = pipeline.resolve_hbm_budget()
     if budget:
         data = dataclasses.replace(
             data,
             train=pipeline.fit_in_budget(data.train, budget),
             val=pipeline.fit_in_budget(data.val, budget),
+            test=pipeline.fit_in_budget(data.test, budget),
         )
         if (t.stream_chunk_batches == 0
                 and isinstance(data.train, pipeline.HostArrays)):
@@ -341,14 +346,25 @@ def run(cfg: Config, data: pipeline.MaterializedData,
 
     # Test protocol: best then last (reference train.py:174-336), each as
     # ONE scan dispatch; the compiled eval program is shared between tags.
-    eval_epoch = engine.make_eval_epoch(task, data.test, mesh=mesh)
+    # An over-budget test split (HostArrays) streams instead.
+    test_streamed = isinstance(data.test, pipeline.HostArrays)
+    eval_epoch = (
+        None if test_streamed
+        else engine.make_eval_epoch(task, data.test, mesh=mesh)
+    )
     out_dir = os.path.join(t.output_dir, stamp)
     results = {}
     for tag in ("best", "last"):
         st = ckpt.restore(tag, result.state) if ckpt.exists(tag) else result.state
-        ev = engine.evaluate_scan(
-            task, st, data.test, t.eval_bs, mesh, eval_epoch=eval_epoch
-        )
+        if test_streamed:
+            ev = engine.evaluate_streamed(
+                task, st, data.test, t.eval_bs, mesh,
+                stream_chunk_batches=t.stream_chunk_batches,
+            )
+        else:
+            ev = engine.evaluate_scan(
+                task, st, data.test, t.eval_bs, mesh, eval_epoch=eval_epoch
+            )
         results[tag] = test_report(
             ev.logits, ev.labels, out_dir, tag,
             threshold_search=(t.loss == "focal"),

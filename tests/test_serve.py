@@ -256,6 +256,12 @@ def test_http_endpoint_client_errors_are_400(server):
     })
     cases.append((body, ctype, "must be a JSON object"))
     cases.append((b"xx", "application/octet-stream", "boundary"))
+    body, ctype = _multipart({
+        "file": ("f.jpg", good_img.getvalue()),
+        "questionnaire": (None, b"{}"),
+        "heatmap_format": (None, b"jpg"),  # typo for jpeg: reject, don't
+    })                                      # silently coerce to png
+    cases.append((body, ctype, "unknown heatmap_format"))
 
     for body, ctype, want in cases:
         with pytest.raises(urllib.error.HTTPError) as e:
@@ -377,3 +383,15 @@ def test_sex_from_questionnaire_gender_mapping():
     assert _sex_from_questionnaire({"gender": "1"}) == "F"
     assert _sex_from_questionnaire({"sex": "F", "gender": "0"}) == "F"
     assert _sex_from_questionnaire({}) is None
+
+
+def test_encode_multipart_boundary_collision():
+    """Binary content containing the default boundary must not truncate
+    at the parser: the encoder lengthens the boundary until it collides
+    with nothing (round-3 review finding)."""
+    from ecgmm_tpu.serve.api import encode_multipart, parse_multipart
+
+    evil = b"head\r\n--ecgmmboundary42\r\ntail" * 3
+    body, ctype = encode_multipart({"file": ("f.bin", evil)})
+    fields = parse_multipart(body, ctype)
+    assert fields["file"] == evil

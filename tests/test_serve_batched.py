@@ -167,3 +167,38 @@ def test_enable_batching_without_programs_raises(tmp_path):
     pipe = ServingPipeline.from_exported(out)
     with pytest.raises(ValueError, match="batch"):
         pipe.enable_batching()
+
+
+def test_closed_race_falls_back_dispatch_failure_surfaces(pipelines, cohort):
+    """predict() quietly retries unbatched when submit races a close
+    (BatcherClosed: the request was never dispatched) but PROPAGATES a
+    BatchDispatchError — a persistently failing batched program must
+    surface, not silently degrade to double work (round-3 review
+    finding)."""
+    from ecgmm_tpu.serve import batching
+
+    ref, batched = pipelines
+
+    class _ClosedStub:
+        def submit(self, *a):
+            raise batching.BatcherClosed("MicroBatcher is closed")
+
+    class _BoomStub:
+        def submit(self, *a):
+            err = batching.BatchDispatchError(
+                "batched dispatch failed: XlaRuntimeError('OOM')"
+            )
+            raise err
+
+    want = ref.predict(cohort.images[0], {"age": 50, "weight": 70})
+    orig = batched._batcher
+    try:
+        batched._batcher = _ClosedStub()
+        got = batched.predict(cohort.images[0], {"age": 50, "weight": 70})
+        _assert_same_response(want, got)
+
+        batched._batcher = _BoomStub()
+        with pytest.raises(batching.BatchDispatchError):
+            batched.predict(cohort.images[0], {"age": 50, "weight": 70})
+    finally:
+        batched._batcher = orig

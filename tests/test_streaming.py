@@ -236,3 +236,70 @@ def test_auto_chunk_batches_sizes_for_eval_batches(data64):
     assert pipeline.auto_chunk_batches(budget, host, 16, 0) == 4
     # floor at 1 (per-batch streaming), never 0
     assert pipeline.auto_chunk_batches(1, host, 16, 64) == 1
+
+
+def test_evaluate_streamed_equals_scan(data64, mesh8):
+    """The streamed test protocol (engine.evaluate_streamed, both the
+    per-batch and chunked flavors) must reproduce the resident
+    one-dispatch evaluate_scan bit-for-bit on a divisible split — an
+    over-HBM test split streams through it instead of being force-
+    promoted to device residency (the round-3 review finding)."""
+    cfg = TrainConfig(batch_size=8, num_epochs=1, patience=10)
+    model = ResNet1DSE(num_classes=2, base_filters=8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 256, 1)))
+    from ecgmm_tpu.train import optim as optim_lib
+
+    tx = optim_lib.make_optimizer(cfg)
+    state = create_state(variables, tx, jax.random.PRNGKey(0))
+    task = make_signal_task(model, cfg)
+
+    # batch 8 (divisible by the 8-device mesh) over the 48-row split:
+    # 6 batches per-batch-streamed, 3 chunks of 2 when chunked
+    resident = engine.evaluate_scan(task, state, data64.train, 8, mesh8)
+    host_split = pipeline.to_host_resident(data64.train)
+    perbatch = engine.evaluate_streamed(task, state, host_split, 8, mesh8)
+    chunked = engine.evaluate_streamed(
+        task, state, host_split, 8, mesh8, stream_chunk_batches=2
+    )
+    for ev in (perbatch, chunked):
+        np.testing.assert_allclose(ev.loss, resident.loss, rtol=1e-6)
+        np.testing.assert_allclose(
+            ev.logits, resident.logits, atol=1e-6
+        )
+        np.testing.assert_array_equal(ev.labels, resident.labels)
+        assert ev.accuracy == resident.accuracy
+
+
+def test_run_streams_test_split_end_to_end(tmp_path, monkeypatch):
+    """run() with a 1-byte HBM budget: ALL splits (incl. test) stream,
+    and the best/last test protocol still reports finite metrics."""
+    from ecgmm_tpu.config import get_preset
+    from ecgmm_tpu.workloads import run as run_mod
+    import dataclasses as dc
+
+    monkeypatch.setenv("ECGMM_HBM_BUDGET_BYTES", "1")
+    monkeypatch.setenv("ECGMM_STREAM_CHUNK_BATCHES", "2")
+    cfg = get_preset("signal_only")
+    cfg = dc.replace(
+        cfg,
+        data=dc.replace(cfg.data, signal_len=256),
+        train=dc.replace(
+            cfg.train, num_epochs=1, batch_size=8,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "out"),
+            log_dir=str(tmp_path / "logs"),
+        ),
+    )
+    cohort = synthetic.make_cohort(n=48, signal_len=256, img_hw=(16, 32))
+    data = pipeline.materialize_trimodal(cohort, cfg, device=False)
+    data = pipeline.MaterializedData(
+        train=pipeline.fit_in_budget(data.train, 1),
+        val=pipeline.fit_in_budget(data.val, 1),
+        test=pipeline.fit_in_budget(data.test, 1),
+        ecg_scaler=data.ecg_scaler,
+        clinical_scaler=data.clinical_scaler,
+    )
+    assert isinstance(data.test, pipeline.HostArrays)
+    _, results = run_mod.run(cfg, data, verbose=False)
+    for tag in ("best", "last"):
+        assert np.isfinite(results[tag]["accuracy"])
