@@ -205,6 +205,28 @@ class Batch(NamedTuple):
     mask: jnp.ndarray
 
 
+def epoch_order(
+    n: int, *, shuffle: bool, seed: int, epoch: int,
+    sample_weights: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """THE per-epoch sample order — shared by iterate_batches,
+    prefetch_batches and engine.epoch_indices so the streamed and
+    resident paths provably see the same samples in the same order (the
+    bit-parity tests depend on one implementation, not three copies).
+    sample_weights enables weighted sampling WITH replacement — the
+    reference's WeightedRandomSampler (train_signal_only_ptb.py:230-241).
+    """
+    rng = np.random.RandomState(seed + epoch)
+    if sample_weights is not None:
+        p = np.asarray(sample_weights, np.float64)
+        p = p / p.sum()
+        return rng.choice(n, size=n, replace=True, p=p)
+    order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)
+    return order
+
+
 def _pad_indices(idx: np.ndarray, multiple: int) -> Tuple[np.ndarray, np.ndarray]:
     n = len(idx)
     padded = ((n + multiple - 1) // multiple) * multiple
@@ -237,15 +259,10 @@ def iterate_batches(
     (train_signal_only_ptb.py:230-241).
     """
     n = arrays.n
-    rng_host = np.random.RandomState(seed + epoch)
-    if sample_weights is not None:
-        p = np.asarray(sample_weights, np.float64)
-        p = p / p.sum()
-        order = rng_host.choice(n, size=n, replace=True, p=p)
-    else:
-        order = np.arange(n)
-        if shuffle:
-            rng_host.shuffle(order)
+    order = epoch_order(
+        n, shuffle=shuffle, seed=seed, epoch=epoch,
+        sample_weights=sample_weights,
+    )
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     for start in range(0, n, batch_size):
@@ -558,21 +575,19 @@ def prefetch_batches(
     """Double-buffered host→device feeding: slice batches from host numpy,
     device_put them ahead of consumption (JAX transfers are async — the
     copy of batch i+k overlaps the compute of batch i), keep `prefetch`
-    batches in flight. The epoch plan (shuffle/weighting/padding) is
-    identical to iterate_batches, so streamed and resident training see
-    the same batches in the same order."""
+    batches in flight. The sample ORDER is epoch_order — the same real
+    rows in the same sequence as iterate_batches/epoch_indices. Tail-
+    batch PADDING deliberately differs (here: pad to batch_size with the
+    last row; resident plans: pad to the data-axis multiple with row 0 —
+    PARITY.md "BatchNorm vs batch padding"), so bit-parity tests use
+    divisible sizes."""
     import collections
 
     n = arrays.n
-    rng_host = np.random.RandomState(seed + epoch)
-    if sample_weights is not None:
-        p = np.asarray(sample_weights, np.float64)
-        p = p / p.sum()
-        order = rng_host.choice(n, size=n, replace=True, p=p)
-    else:
-        order = np.arange(n)
-        if shuffle:
-            rng_host.shuffle(order)
+    order = epoch_order(
+        n, shuffle=shuffle, seed=seed, epoch=epoch,
+        sample_weights=sample_weights,
+    )
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     put = _row_uploader(sharding)

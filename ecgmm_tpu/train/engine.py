@@ -37,6 +37,7 @@ from ecgmm_tpu.config import TrainConfig
 from ecgmm_tpu.data.pipeline import (
     Arrays,
     Batch,
+    epoch_order,
     iterate_batches,
     prefetch_batches,
     prefetch_chunks,
@@ -254,16 +255,14 @@ def epoch_indices(
     n: int, batch_size: int, *, shuffle: bool, seed: int, epoch: int,
     sample_weights: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side epoch plan: (n_batches, bs) index matrix + pad mask."""
-    rng = np.random.RandomState(seed + epoch)
-    if sample_weights is not None:
-        p = np.asarray(sample_weights, np.float64)
-        p = p / p.sum()
-        order = rng.choice(n, size=n, replace=True, p=p)
-    else:
-        order = np.arange(n)
-        if shuffle:
-            rng.shuffle(order)
+    """Host-side epoch plan: (n_batches, bs) index matrix + pad mask.
+    The sample order comes from pipeline.epoch_order — shared with the
+    streaming paths so all paths see the same samples in the same
+    sequence."""
+    order = epoch_order(
+        n, shuffle=shuffle, seed=seed, epoch=epoch,
+        sample_weights=sample_weights,
+    )
     n_batches = -(-n // batch_size)
     padded = n_batches * batch_size
     mask = np.zeros(padded, np.float32)
@@ -440,27 +439,45 @@ def _eval_streamed_perbatch(
     return _assemble_eval(losses_l, logits_l, labels_l, extra_l)
 
 
+def make_streamed_eval_program(task: Task, mesh=None,
+                               chunked: bool = False):
+    """Build the jitted program evaluate_streamed runs, so callers that
+    evaluate more than once (e.g. the best/last test protocol) compile
+    it ONCE — each builder call is a fresh closure, i.e. a fresh trace
+    and a fresh 30–250 s remote compile on the relayed TPU."""
+    return _make_eval_program(task, mesh=mesh) if chunked \
+        else make_eval_step(task)
+
+
 def evaluate_streamed(
     task: Task, state: TrainState, arrays, batch_size: int,
-    mesh=None, stream_chunk_batches: int = 0,
+    mesh=None, stream_chunk_batches: int = 0, program=None,
 ) -> EvalResult:
     """`evaluate` semantics for an over-HBM-budget HostArrays split: the
     data never gets a full device copy. Chunked (one scan dispatch per K
     batches) when stream_chunk_batches > 1, per-batch otherwise — the
-    same two paths the in-fit streamed validation uses."""
+    same two paths the in-fit streamed validation uses.
+
+    program: a prebuilt make_streamed_eval_program(task, mesh, chunked=
+    stream_chunk_batches > 1) to share the compiled executable across
+    calls; built fresh when None."""
     if arrays.n == 0:
         return EvalResult(
             loss=float("nan"), accuracy=float("nan"),
             logits=np.zeros((0, 2), np.float32),
             labels=np.zeros((0,), np.int64), metrics={},
         )
-    if stream_chunk_batches > 1:
+    chunked = stream_chunk_batches > 1
+    if program is None:
+        program = make_streamed_eval_program(task, mesh=mesh,
+                                             chunked=chunked)
+    if chunked:
         return _eval_streamed_chunked(
-            _make_eval_program(task, mesh=mesh), state, arrays,
-            batch_size, stream_chunk_batches, mesh=mesh,
+            program, state, arrays, batch_size, stream_chunk_batches,
+            mesh=mesh,
         )
     return _eval_streamed_perbatch(
-        make_eval_step(task), state, arrays, batch_size, mesh=mesh
+        program, state, arrays, batch_size, mesh=mesh
     )
 
 
@@ -487,9 +504,14 @@ def fit(
     train_sample_weights: Optional[np.ndarray] = None,
 ) -> FitResult:
     """The reference's epoch loop semantics (train.py:55-167), sharded."""
+    prev_debug_nans = None
     if cfg.debug_nans:
         # jit purity makes data races structural non-issues; numeric
         # faults are the failure mode worth trapping (SURVEY.md §5).
+        # Scoped to this fit: restored on exit so a later run in the same
+        # process (CV folds, staged pretraining) doesn't inherit the
+        # per-dispatch NaN-scan sync.
+        prev_debug_nans = bool(jax.config.jax_debug_nans)
         jax.config.update("jax_debug_nans", True)
 
     # Preemption-aware: on SIGTERM finish the current epoch, persist the
@@ -606,19 +628,26 @@ def fit(
                     jax.block_until_ready(
                         step_mets[-_STREAM_SYNC_WINDOW - 1]["loss"]
                     )
-            tm = {
-                "loss_sum": jnp.sum(
-                    jnp.stack([m["loss"] for m in step_mets])
-                ),
-                "correct": jnp.sum(
-                    jnp.stack([m["correct"] for m in step_mets])
-                ),
-                "count": jnp.sum(
-                    jnp.stack([m["count"] for m in step_mets])
-                ),
-            }
-            if step_mets and "soft_weights" in step_mets[-1]:
-                tm["soft_weights"] = step_mets[-1]["soft_weights"]
+            if step_mets:
+                tm = {
+                    "loss_sum": jnp.sum(
+                        jnp.stack([m["loss"] for m in step_mets])
+                    ),
+                    "correct": jnp.sum(
+                        jnp.stack([m["correct"] for m in step_mets])
+                    ),
+                    "count": jnp.sum(
+                        jnp.stack([m["count"] for m in step_mets])
+                    ),
+                }
+                if "soft_weights" in step_mets[-1]:
+                    tm["soft_weights"] = step_mets[-1]["soft_weights"]
+            else:  # empty split — match the chunked/resident zero metrics
+                tm = {
+                    "loss_sum": jnp.zeros(()),
+                    "correct": jnp.zeros(()),
+                    "count": jnp.zeros(()),
+                }
         else:
             idx, mask = epoch_indices(
                 train_arrays.n, cfg.batch_size, shuffle=True, seed=cfg.seed,
@@ -692,7 +721,15 @@ def fit(
         # best_val_loss/counters one epoch stale, and a crash + --resume
         # could then overwrite 'best' with a worse model and shift the
         # early-stop/LR-decay timing (round-1 advisor finding).
-        improved = val.loss < float(state.best_val_loss)
+        # A non-finite val loss (empty/degenerate val set, or a NaN
+        # epoch) carries NO signal: it must neither improve best NOR
+        # count as a stale epoch — otherwise `nan < best` is False
+        # every epoch and patience epochs of no-signal silently
+        # early-stop the run with no 'best' ever written (PARITY.md).
+        val_informative = bool(np.isfinite(val.loss))
+        improved = (
+            val_informative and val.loss < float(state.best_val_loss)
+        )
         if improved:
             state = dataclasses.replace(
                 state,
@@ -701,7 +738,7 @@ def fit(
                 lr_reduce_counter=jnp.zeros((), jnp.int32),
             )
             best_epoch = epoch
-        else:
+        elif val_informative:
             state = dataclasses.replace(
                 state,
                 early_stop_counter=state.early_stop_counter + 1,
@@ -742,6 +779,8 @@ def fit(
             _signal.signal(_signal.SIGTERM, prev_handler)
         except ValueError:
             pass
+    if prev_debug_nans is not None:
+        jax.config.update("jax_debug_nans", prev_debug_nans)
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # drain async writes before returning

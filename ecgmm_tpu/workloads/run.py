@@ -352,6 +352,12 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         None if test_streamed
         else engine.make_eval_epoch(task, data.test, mesh=mesh)
     )
+    streamed_prog = (
+        engine.make_streamed_eval_program(
+            task, mesh=mesh, chunked=t.stream_chunk_batches > 1
+        )
+        if test_streamed else None
+    )
     out_dir = os.path.join(t.output_dir, stamp)
     results = {}
     for tag in ("best", "last"):
@@ -360,6 +366,7 @@ def run(cfg: Config, data: pipeline.MaterializedData,
             ev = engine.evaluate_streamed(
                 task, st, data.test, t.eval_bs, mesh,
                 stream_chunk_batches=t.stream_chunk_batches,
+                program=streamed_prog,
             )
         else:
             ev = engine.evaluate_scan(

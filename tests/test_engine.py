@@ -380,3 +380,72 @@ def test_scale_lr_through_masked_wrapper():
     assert optim_lib.get_lr(scaled) == pytest.approx(1e-4)
     # the wrapper type survives the rebuild
     assert type(scaled) is type(state)
+
+
+def _empty_arrays(like: pipeline.Arrays) -> pipeline.Arrays:
+    return pipeline.Arrays(
+        images=None,
+        signals=jnp.zeros((0,) + tuple(np.shape(like.signals)[1:])),
+        clinical=None,
+        labels=jnp.zeros((0,), jnp.int32),
+        indices=np.zeros((0,), np.int64),
+    )
+
+
+def test_nan_val_loss_is_not_an_early_stop_signal(small_data, mesh8):
+    """An empty (or NaN-loss) val set must not count as stale epochs:
+    `nan < best` is False every epoch, and before the fix patience
+    no-signal epochs silently early-stopped the run with no 'best'
+    checkpoint ever written (round-3 review finding; PARITY.md row)."""
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=4, lr=1e-3, patience=2,
+        plateau_patience=2,
+    )
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+    result = engine.fit(
+        task, state, tx, small_data.train, _empty_arrays(small_data.val),
+        cfg, mesh=mesh8, verbose=False,
+    )
+    assert not result.stopped_early
+    assert len(result.history) == 4  # ran the full schedule
+    assert int(result.state.early_stop_counter) == 0
+    # and the LR was never plateau-decayed on no-signal epochs
+    assert optim_lib.get_lr(result.state.opt_state) == pytest.approx(
+        cfg.lr
+    )
+
+
+def test_streamed_fit_with_empty_train_split(small_data, mesh8):
+    """The per-batch streamed path must handle an n=0 train split with
+    zero metrics like the resident/chunked paths do, not crash on
+    jnp.stack([]) (round-3 review finding)."""
+    cfg = TrainConfig(batch_size=16, num_epochs=1, patience=10)
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+    empty_host = pipeline.to_host_resident(_empty_arrays(small_data.val))
+    result = engine.fit(
+        task, state, tx, empty_host,
+        pipeline.to_host_resident(small_data.val), cfg,
+        mesh=mesh8, verbose=False,
+    )
+    assert len(result.history) == 1
+    assert result.history[0]["Accuracy/Train"] == 0.0
+
+
+def test_debug_nans_is_restored_after_fit(small_data, mesh8):
+    """cfg.debug_nans must be scoped to the fit that asked for it — a
+    later run in the same process must not inherit the per-dispatch
+    NaN-scan (round-3 review finding)."""
+    before = bool(jax.config.jax_debug_nans)
+    assert not before
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=1, patience=10, debug_nans=True
+    )
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+    engine.fit(
+        task, state, tx, small_data.train, small_data.val, cfg,
+        mesh=mesh8, verbose=False,
+    )
+    assert bool(jax.config.jax_debug_nans) == before

@@ -50,14 +50,19 @@ def test_roundtrip_promoted_is_bitwise_equal(small_data, tmp_path):
 
 
 def test_over_budget_load_is_memmap_backed(small_data, tmp_path):
-    """A 1-byte budget keeps train/val as HostArrays whose fields are
-    np.memmap views (no RAM copy); test is always device-resident."""
+    """A 1-byte budget keeps ALL splits as HostArrays whose fields are
+    np.memmap views (no RAM copy) — including test, whose protocol
+    streams via engine.evaluate_streamed when over budget (the old
+    always-promote OOMed at exactly the scales streaming targets)."""
     cache = str(tmp_path / "cache")
     pipeline.save_materialized(small_data, cache)
     loaded = pipeline.load_materialized(cache, hbm_budget_bytes=1)
     assert isinstance(loaded.train, pipeline.HostArrays)
     assert isinstance(loaded.val, pipeline.HostArrays)
-    assert isinstance(loaded.test, pipeline.Arrays)
+    assert isinstance(loaded.test, pipeline.HostArrays)
+    # an ample budget still promotes everything
+    roomy = pipeline.load_materialized(cache, hbm_budget_bytes=1 << 40)
+    assert isinstance(roomy.test, pipeline.Arrays)
     assert isinstance(loaded.train.signals, np.memmap)
     assert isinstance(loaded.train.labels, np.memmap)
     np.testing.assert_array_equal(
