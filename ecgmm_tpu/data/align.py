@@ -24,10 +24,13 @@ LABEL_MAP_ARR = {"Abnormal": 0, "Arrhythmia": 1}
 def filter_and_map_labels(
     labels_df: pd.DataFrame,
     label_map: Dict[str, int] = LABEL_MAP_BINARY,
-    drop: Sequence[str] = ("Borderline",),
+    drop: Sequence[str] = (),
 ) -> pd.DataFrame:
-    """Drop excluded classes and map string labels to ints
-    (reference dataset.py:133-134)."""
+    """Map string labels to ints, dropping any label not in the map
+    (reference dataset.py:133-134 — 'Borderline' is absent from the
+    binary map, so it drops; LABEL_MAP_AF keeps Borderline as class 0
+    and 'Normal' drops as unmapped, train_signal_only_af.py:81-82).
+    `drop` force-excludes additional labels that ARE in the map."""
     df = labels_df[~labels_df["label"].isin(drop)].copy()
     df["label"] = df["label"].map(label_map)
     df = df[df["label"].notna()]

@@ -202,6 +202,14 @@ def filtfilt(filt: IIRFilter, x: jnp.ndarray) -> jnp.ndarray:
     Runs in float64 internally (matching scipy, and necessary: the 5th-order
     Butterworth at cutoff 0.1·Nyquist is numerically stiff in fp32).
     """
+    padlen = 3 * len(filt.b)
+    if x.shape[-1] <= padlen:
+        # scipy raises here too; the odd-extension slices below would
+        # silently misalign for T <= padlen rather than error.
+        raise ValueError(
+            f"filtfilt needs x.shape[-1] > padlen ({padlen}); got "
+            f"{x.shape[-1]}"
+        )
     with jax.enable_x64():
         b = jnp.asarray(filt.b, jnp.float64)
         a = jnp.asarray(filt.a, jnp.float64)

@@ -113,10 +113,21 @@ def merge_signal_csvs(signal_dir: str, out_csv: Optional[str] = None
         for f in os.listdir(signal_dir)
         if f.endswith(".csv") and os.path.splitext(f)[0].isdigit()
     )
+    # The reference iterates ids 1..N and logs every absent file as
+    # missing (signal_analysis.py:14-26); report directory gaps the same
+    # way, not just parse failures of files that exist.
+    missing.extend(sorted(set(range(1, max(ids) + 1)) - set(ids)) if ids
+                   else [])
     for idx in ids:
         try:
-            df = pd.read_csv(os.path.join(signal_dir, f"{idx}.csv"))
-            rows[idx] = df.iloc[:, -1].to_numpy(np.float32)
+            # header=None + first column — the reference reads the raw
+            # headerless per-record CSVs with pd.read_csv(file,
+            # header=None); df[0] (signal_analysis.py:20-21); reading
+            # with a header row would eat the first sample as a name.
+            df = pd.read_csv(
+                os.path.join(signal_dir, f"{idx}.csv"), header=None
+            )
+            rows[idx] = df.iloc[:, 0].to_numpy(np.float32)
         except Exception:
             missing.append(idx)
     frame = pd.DataFrame.from_dict(rows, orient="index")
@@ -129,9 +140,23 @@ def load_12lead_xlsx(path_fmt: str, indices: Sequence[int]) -> np.ndarray:
     """Per-patient {idx}_12leads.xlsx → (N, 12, T), reordering columns with
     the reference's lead permutation (train_signal_12_af.py:52-59)."""
     perm = [0, 4, 8, 5, 1, 9, 2, 6, 10, 3, 7, 11]
+    lead_cols = [f"Lead_{i}" for i in range(1, 13)]
     mats = []
     for idx in indices:
         df = read_table(path_fmt.format(idx=idx))
+        # Select the lead columns BY NAME like the reference
+        # (df[['Lead_1'..'Lead_12']].values.T, train_signal_12_af.py:
+        # 54-58) — positional selection would silently misassign leads
+        # if a file carries an extra time/index column or a different
+        # column order.
+        if all(c in df.columns for c in lead_cols):
+            df = df[lead_cols]
+        elif df.shape[1] != 12:
+            raise ValueError(
+                f"{path_fmt.format(idx=idx)}: expected Lead_1..Lead_12 "
+                f"columns or exactly 12 columns, got "
+                f"{list(df.columns)[:14]}"
+            )
         mats.append(df.to_numpy(np.float32).T[perm])
     return np.stack(mats)
 
@@ -150,6 +175,9 @@ class WFDBHeader(NamedTuple):
     gains: List[float]
     baselines: List[int]
     sig_names: List[str]
+    # leading bytes to skip in each signal file (fmt '+offset' modifier,
+    # e.g. CinC 2017's '16+24' .mat container header)
+    offsets: Sequence[int] = ()
 
 
 def read_wfdb_header(hea_path: str) -> WFDBHeader:
@@ -167,19 +195,45 @@ def read_wfdb_header(hea_path: str) -> WFDBHeader:
     n_samples = int(rec[3]) if len(rec) > 3 else 0
 
     file_names, formats, gains, baselines, sig_names = [], [], [], [], []
+    offsets: List[int] = []
     for ln in lines[1 : 1 + n_sig]:
         parts = ln.split()
         file_names.append(parts[0])
-        fmt = int(re.match(r"(\d+)", parts[1]).group(1))
-        formats.append(fmt)
+        fmt_spec = parts[1]
+        # fmt[+offset] only: the xN (samples/frame) and :skew modifiers
+        # change the byte layout — silently stripping them would decode
+        # garbage, so reject them loudly. +offset (leading bytes to skip
+        # — CinC 2017 headers say '16+24' for the .mat container header)
+        # is honored in read_wfdb.
+        fm = re.fullmatch(r"(\d+)(?:\+(\d+))?", fmt_spec)
+        if not fm:
+            raise NotImplementedError(
+                f"WFDB format spec {fmt_spec!r} (xN/:skew modifiers) "
+                "not supported"
+            )
+        formats.append(int(fm.group(1)))
+        offsets.append(int(fm.group(2) or 0))
+        # gain[(baseline)][/units]; gain 0 means 'unknown, assume the
+        # default 200 adu/mV' per the WFDB spec.
         gain_field = parts[2] if len(parts) > 2 else "200"
         m = re.match(r"([-\d.e+]+)(?:\(([-\d]+)\))?", gain_field)
-        gains.append(float(m.group(1)) if m else 200.0)
-        baselines.append(int(m.group(2)) if (m and m.group(2)) else 0)
+        gain = float(m.group(1)) if m else 200.0
+        gains.append(gain if gain != 0.0 else 200.0)
+        if m and m.group(2):
+            baseline = int(m.group(2))
+        elif len(parts) > 4:
+            # No parenthesized baseline: the spec says baseline equals
+            # the ADC-zero field (field 5) — a real MIT-BIH header like
+            # '100.dat 212 200 11 1024 995 -22131 0 MLII' has baseline
+            # 1024, not 0.
+            baseline = int(float(parts[4]))
+        else:
+            baseline = 0
+        baselines.append(baseline)
         sig_names.append(parts[-1])
     return WFDBHeader(
         record_name, n_sig, fs, n_samples,
-        file_names, formats, gains, baselines, sig_names,
+        file_names, formats, gains, baselines, sig_names, offsets,
     )
 
 
@@ -192,6 +246,12 @@ def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
 
     Returns (signal[T, C] float64 in physical units, header)."""
     hdr = read_wfdb_header(record_path + ".hea")
+    if len(set(hdr.file_names)) > 1:
+        # Per-signal .dat files are legal WFDB; decoding file 0 as if it
+        # held all channels interleaved would return garbage silently.
+        raise NotImplementedError(
+            f"multi-file WFDB records not supported: {hdr.file_names}"
+        )
     dat = hdr.file_names[0]
     base = os.path.dirname(record_path)
 
@@ -202,15 +262,18 @@ def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
         digital = raw.T.astype(np.float64)
     else:
         fmt = hdr.formats[0]
+        off = hdr.offsets[0] if hdr.offsets else 0
         path = os.path.join(base, dat)
         if fmt == 16:
-            digital = np.fromfile(path, dtype="<i2").astype(np.float64)
+            digital = np.fromfile(path, dtype="<i2",
+                                  offset=off).astype(np.float64)
         elif fmt == 32:
-            digital = np.fromfile(path, dtype="<i4").astype(np.float64)
+            digital = np.fromfile(path, dtype="<i4",
+                                  offset=off).astype(np.float64)
         elif fmt == 212:
             # MIT-BIH: two 12-bit two's-complement samples per 3 bytes —
             # s0 = b1[3:0]·256 + b0, s1 = b1[7:4]·256 + b2.
-            b = np.fromfile(path, dtype=np.uint8)
+            b = np.fromfile(path, dtype=np.uint8, offset=off)
             b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int32)
             s0 = ((b[:, 1] & 0x0F) << 8) | b[:, 0]
             s1 = ((b[:, 1] & 0xF0) << 4) | b[:, 2]
@@ -221,11 +284,12 @@ def read_wfdb(record_path: str, channels: Optional[Sequence[int]] = None
         elif fmt == 80:
             # offset-binary 8-bit: stored byte − 128
             digital = (
-                np.fromfile(path, dtype=np.uint8).astype(np.float64) - 128.0
+                np.fromfile(path, dtype=np.uint8,
+                            offset=off).astype(np.float64) - 128.0
             )
         elif fmt == 24:
             # 3-byte little-endian two's complement
-            b = np.fromfile(path, dtype=np.uint8)
+            b = np.fromfile(path, dtype=np.uint8, offset=off)
             b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
             v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
             digital = np.where(

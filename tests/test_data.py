@@ -147,3 +147,60 @@ def test_batch_shuffle_determinism():
 
     np.testing.assert_array_equal(first_labels(0), first_labels(0))
     assert not np.array_equal(first_labels(0), first_labels(1))
+
+
+def test_merge_signal_csvs_headerless_first_column_and_gaps(tmp_path):
+    """The reference reads headerless per-record CSVs (header=None,
+    first column) and logs absent ids as missing (signal_analysis.py:
+    14-26): the first sample must survive, and directory gaps must be
+    reported (round-3 review findings)."""
+    d = tmp_path / "signals"
+    d.mkdir()
+    for idx, vals in [(1, [0.5, 1.0, 2.0]), (3, [9.0, 8.0, 7.0])]:
+        with open(d / f"{idx}.csv", "w") as f:
+            f.write("\n".join(str(v) for v in vals))
+    (d / "4.csv").write_text("not,a,signal\nx,y,z\n")  # parse failure
+    frame, missing = sources.merge_signal_csvs(str(d))
+    # first value 0.5 is DATA, not a header
+    np.testing.assert_allclose(frame.loc[1].to_numpy()[:3], [0.5, 1.0, 2.0])
+    np.testing.assert_allclose(frame.loc[3].to_numpy()[:3], [9.0, 8.0, 7.0])
+    assert 2 in missing  # the directory gap
+    assert 4 in missing  # the unparsable file
+
+
+def test_load_12lead_selects_leads_by_name(tmp_path):
+    """Lead columns are selected by name like the reference
+    (train_signal_12_af.py:54-58); an extra time column must not shift
+    the permutation, and a wrong column set must raise."""
+    rng = np.random.default_rng(0)
+    leads = rng.normal(size=(16, 12)).astype(np.float32)
+    df = pd.DataFrame(leads, columns=[f"Lead_{i}" for i in range(1, 13)])
+    df.insert(0, "time", np.arange(16))  # extra column, first position
+    df.to_csv(tmp_path / "7_12leads.csv", index=False)
+    out = sources.load_12lead_xlsx(
+        str(tmp_path / "{idx}_12leads.csv"), [7]
+    )
+    perm = [0, 4, 8, 5, 1, 9, 2, 6, 10, 3, 7, 11]
+    np.testing.assert_allclose(out[0], leads.T[perm], rtol=1e-6)
+
+    bad = pd.DataFrame(rng.normal(size=(16, 5)))
+    bad.to_csv(tmp_path / "8_12leads.csv", index=False)
+    with pytest.raises(ValueError, match="Lead_1"):
+        sources.load_12lead_xlsx(str(tmp_path / "{idx}_12leads.csv"), [8])
+
+
+def test_af_label_map_keeps_borderline_drops_normal():
+    """filter_and_map_labels with LABEL_MAP_AF must reproduce the
+    reference AF cohort (train_signal_only_af.py:81-82): Normal dropped
+    (unmapped), Borderline kept as class 0 — the old default
+    drop=('Borderline',) silently changed the negative pool."""
+    df = pd.DataFrame({
+        "index": [1, 2, 3, 4],
+        "label": ["Normal", "Abnormal", "AF", "Borderline"],
+    })
+    out = align.filter_and_map_labels(df, align.LABEL_MAP_AF)
+    assert out["index"].tolist() == [2, 3, 4]
+    assert out["label"].tolist() == [0, 1, 0]
+    # canonical binary map still drops Borderline (unmapped)
+    out2 = align.filter_and_map_labels(df)
+    assert out2["index"].tolist() == [1, 2]

@@ -144,3 +144,17 @@ def test_augment_signal_deterministic_and_shaped(rng):
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     y3 = pp.augment_signal(jax.random.PRNGKey(1), x)
     assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_filtfilt_short_signal_raises_like_scipy():
+    """scipy.signal.filtfilt requires x.shape[-1] > padlen; the jittable
+    port must raise the same loud ValueError instead of silently
+    returning misaligned output (round-3 review finding)."""
+    filt = pp.butter_lowpass()
+    padlen = 3 * len(filt.b)
+    short = jnp.ones((padlen,), jnp.float32)
+    with pytest.raises(ValueError, match="padlen"):
+        pp.filtfilt(filt, short)
+    # one sample over the limit works
+    out = pp.filtfilt(filt, jnp.ones((padlen + 1,), jnp.float32))
+    assert out.shape == (padlen + 1,)

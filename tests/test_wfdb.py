@@ -166,3 +166,75 @@ def test_physionet_manifest(tmp_path):
     assert list(binary["label"]) == [0, 1, 1]
     multi = sources.load_physionet_manifest(str(tmp_path), multiclass=True)
     assert list(multi["label"]) == [0, 1, 2]
+
+
+def test_mitbih_header_baseline_defaults_to_adc_zero(tmp_path):
+    """A real MIT-BIH signal line has no parenthesized baseline —
+    '100.dat 212 200 11 1024 995 ...' — and per the WFDB spec the
+    baseline then equals the ADC-zero field (1024), not 0 (round-3
+    review finding)."""
+    n = 6
+    # two channels, format 212, known digital values around adc_zero
+    dig = np.array([[1024, 1034], [1014, 1024], [1044, 1004],
+                    [1024, 1024], [1025, 1023], [1023, 1025]], np.int32)
+    flat = dig.reshape(-1)
+    b = np.zeros(((len(flat) + 1) // 2) * 3, np.uint8)
+    for k in range(0, len(flat), 2):
+        s0, s1 = int(flat[k]) & 0xFFF, int(flat[k + 1]) & 0xFFF
+        j = (k // 2) * 3
+        b[j] = s0 & 0xFF
+        b[j + 1] = ((s0 >> 8) & 0x0F) | (((s1 >> 8) & 0x0F) << 4)
+        b[j + 2] = s1 & 0xFF
+    b.tofile(tmp_path / "100.dat")
+    with open(tmp_path / "100.hea", "w") as f:
+        f.write(f"100 2 360 {n}\n")
+        f.write("100.dat 212 200 11 1024 1024 0 0 MLII\n")
+        f.write("100.dat 212 200 11 1024 1034 0 0 V5\n")
+    sig, hdr = sources.read_wfdb(str(tmp_path / "100"))
+    assert hdr.baselines == [1024, 1024]
+    np.testing.assert_allclose(
+        sig, (dig - 1024) / 200.0, atol=1e-12
+    )
+
+
+def test_wfdb_gain_zero_uses_spec_default_200(tmp_path):
+    digital = np.arange(-5, 5, dtype="<i2")
+    digital.tofile(tmp_path / "g0.dat")
+    with open(tmp_path / "g0.hea", "w") as f:
+        f.write("g0 1 250 10\n")
+        f.write("g0.dat 16 0 16 0 0 0 0 ECG\n")
+    sig, hdr = sources.read_wfdb(str(tmp_path / "g0"))
+    assert hdr.gains == [200.0]
+    assert np.isfinite(sig).all()
+    np.testing.assert_allclose(sig[:, 0], digital / 200.0, atol=1e-12)
+
+
+def test_wfdb_format_offset_is_honored(tmp_path):
+    """CinC-2017-style '16+24' specs skip the leading container bytes
+    instead of decoding them as samples."""
+    junk = np.full(24, 0x7F, np.uint8)
+    digital = np.array([100, -200, 300, -400], "<i2")
+    with open(tmp_path / "off.dat", "wb") as f:
+        f.write(junk.tobytes())
+        f.write(digital.tobytes())
+    with open(tmp_path / "off.hea", "w") as f:
+        f.write("off 1 300 4\n")
+        f.write("off.dat 16+24 1000(0)/mV 16 0 0 0 0 ECG\n")
+    sig, hdr = sources.read_wfdb(str(tmp_path / "off"))
+    assert list(hdr.offsets) == [24]
+    np.testing.assert_allclose(sig[:, 0], digital / 1000.0, atol=1e-12)
+
+
+def test_wfdb_unsupported_layouts_raise(tmp_path):
+    with open(tmp_path / "multi.hea", "w") as f:
+        f.write("multi 2 250 10\n")
+        f.write("multi_a.dat 16 200(0)/mV 16 0 0 0 0 A\n")
+        f.write("multi_b.dat 16 200(0)/mV 16 0 0 0 0 B\n")
+    with pytest.raises(NotImplementedError, match="multi-file"):
+        sources.read_wfdb(str(tmp_path / "multi"))
+
+    with open(tmp_path / "skew.hea", "w") as f:
+        f.write("skew 1 250 10\n")
+        f.write("skew.dat 16x2 200(0)/mV 16 0 0 0 0 A\n")
+    with pytest.raises(NotImplementedError, match="format spec"):
+        sources.read_wfdb_header(str(tmp_path / "skew.hea"))
