@@ -60,7 +60,10 @@ def export_bundle(
     right size/throughput trade-off there.
     """
     h, w = pipeline.img_hw
-    n_clin = pipeline.model.cfg.clinical_in_features
+    # pipeline.n_clin is maintained for every construction path —
+    # model.cfg would AttributeError on a bundle-backed pipeline whose
+    # model is None (from_exported).
+    n_clin = pipeline.n_clin
 
     def example(b):
         return (
@@ -173,6 +176,10 @@ def main(argv=None):
                    help="data source the run was trained on (scalers + "
                         "SHAP background come from its train split)")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--preset", default="fusion",
+                   help="the preset the --run-dir checkpoint was trained "
+                        "with (its model/train config rebuilds the "
+                        "restore skeleton)")
     p.add_argument("--n-synth", type=int, default=244)
     p.add_argument("--platforms", default="cpu,tpu")
     p.add_argument("--batch-buckets", default="",
@@ -185,9 +192,14 @@ def main(argv=None):
     if args.run_dir:
         import dataclasses
 
+        from ecgmm_tpu.models import ECGMultimodalModel
         from ecgmm_tpu.workloads.run import get_preset, load_data
 
-        cfg = get_preset("fusion")
+        # The preset must match the run being exported: the orbax
+        # restore rebuilds the checkpoint's tree from this model/train
+        # config (a fusion_modal_balance run cannot restore into the
+        # canonical fusion skeleton).
+        cfg = get_preset(args.preset)
         if args.data_dir:
             cfg = dataclasses.replace(
                 cfg, data=dataclasses.replace(
@@ -195,14 +207,21 @@ def main(argv=None):
                 )
             )
         data = load_data(cfg, args.data, args.n_synth)
-        pipe = ServingPipeline.from_run(args.run_dir, data)
+        pipe = ServingPipeline.from_run(
+            args.run_dir, data,
+            model=ECGMultimodalModel(cfg=cfg.model),
+            train_cfg=cfg.train,
+        )
     else:
         pipe = ServingPipeline.demo()
     buckets = tuple(
         int(b) for b in args.batch_buckets.split(",") if b.strip()
     )
     out = export_bundle(
-        pipe, args.out, platforms=tuple(args.platforms.split(",")),
+        pipe, args.out,
+        platforms=tuple(
+            s.strip() for s in args.platforms.split(",") if s.strip()
+        ),
         batch_buckets=buckets or None,
     )
     print(f"exported serving bundle -> {out}")

@@ -25,21 +25,32 @@ SECTIONS = ["RR 간격", "QRS 파형", "T파", "P파", "임상 권고"]
 
 
 def parse_sections(gpt_output: str) -> Dict[str, str]:
-    """Regex extraction of '### [section]' blocks
-    (gpt_analysis.py:137-147)."""
-    pattern = r"### \[(" + "|".join(SECTIONS) + r")\]\n(.*?)(?=\n### \[|\Z)"
-    matches = re.findall(pattern, gpt_output, re.DOTALL)
+    """Extract the '### [section]' blocks the GPT prompt mandates into a
+    {section: body} dict (behavioral contract of gpt_analysis.py:137-147,
+    including its quirk of stripping edge dashes from each body)."""
     out = {s: "" for s in SECTIONS}
-    for name, content in matches:
-        out[name] = content.strip().strip("---").strip()
+    # Split the document at section headings, then claim each block for
+    # the section named in its heading; a section can appear at most
+    # once (later occurrences overwrite, like the reference's findall
+    # loop).
+    blocks = re.split(r"^### \[([^\]\n]+)\]\n?", gpt_output,
+                      flags=re.MULTILINE)
+    for name, body in zip(blocks[1::2], blocks[2::2]):
+        if name in out:
+            out[name] = body.strip().strip("---").strip()
     return out
 
 
 def detect_r_peaks(signal: np.ndarray, fs: float = 250.0) -> np.ndarray:
     """Simple R-peak detector: threshold crossings on the positive
-    envelope with a 200 ms refractory period."""
+    envelope with a 200 ms refractory period. The threshold anchors on
+    the 99th percentile, not the max: a single photo-artifact spike
+    (smudge, pen mark) above the true R amplitude would otherwise raise
+    a max-based threshold past every real beat and blank the report's
+    rhythm section."""
     x = signal - np.median(signal)
-    thresh = 0.5 * np.max(x) if np.max(x) > 0 else np.inf
+    ref = float(np.percentile(x, 99.0))
+    thresh = 0.5 * ref if ref > 0 else np.inf
     refractory = int(0.2 * fs)
     peaks = []
     i = 1
@@ -56,7 +67,10 @@ def signal_features(signal: np.ndarray, fs: float = 250.0) -> Dict[str, float]:
     peaks = detect_r_peaks(signal, fs)
     if len(peaks) >= 3:
         rr = np.diff(peaks) / fs
-        hr = 60.0 / np.mean(rr)
+        # median RR: one false beat from a photo artifact splits a
+        # single interval and would drag a mean-based rate; the median
+        # ignores it
+        hr = 60.0 / np.median(rr)
         rr_cv = float(np.std(rr) / np.mean(rr))
     else:
         rr = np.asarray([])

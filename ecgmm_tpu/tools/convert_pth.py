@@ -36,7 +36,15 @@ def _np(t) -> np.ndarray:
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu")
+    except Exception:
+        # torch>=2.6 defaults weights_only=True, which rejects
+        # full-model pickles (torch.save(model)) before the
+        # .state_dict() fallback below can run. Retry with the explicit
+        # opt-out — this converter is a user-initiated tool operating on
+        # a checkpoint the user supplied.
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: _np(v) for k, v in sd.items()}
@@ -288,7 +296,8 @@ def convert_crnn(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     }
 
 
-def convert_transformer1d(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+def convert_transformer1d(sd: Mapping[str, np.ndarray],
+                          nhead: int = 4) -> Dict[str, dict]:
     """Reference ECGTransformer1D state dict → variables for
     models.ECGTransformer1D.
 
@@ -296,7 +305,12 @@ def convert_transformer1d(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     conv.*, pos_embedding, transformer_encoder.layers.{i}.{self_attn.
     {in_proj_weight,in_proj_bias,out_proj.*}, linear{1,2}.*, norm{1,2}.*},
     classifier.{1,4}.* (index 0 is a Flatten). The packed (3D, D)
-    in_proj is split into per-head q/k/v kernels of shape (D, H, D/H)."""
+    in_proj is split into per-head q/k/v kernels of shape (D, H, D/H).
+
+    nhead: the state dict does not record the head count; the reference
+    fixes 4 (train_physionet.py:233). A checkpoint trained with a
+    different count MUST pass it — the per-head reshape would otherwise
+    silently group the wrong rows into heads."""
     p: Dict[str, np.ndarray] = {}
 
     p["embed_conv/kernel"] = _conv1d(sd["conv.weight"])
@@ -308,8 +322,10 @@ def convert_transformer1d(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
         int(k.split(".")[2]) for k in sd
         if k.startswith("transformer_encoder.layers.")
     })
-    # head count is not stored in the state dict; the reference fixes 4
-    nhead = 4
+    if nhead < 1 or d_model % nhead:
+        raise ValueError(
+            f"nhead={nhead} does not divide d_model={d_model}"
+        )
     hd = d_model // nhead
     for i in layers:
         pre = f"transformer_encoder.layers.{i}."
@@ -479,10 +495,17 @@ def main(argv=None):
     p.add_argument("pth", help="torch state-dict .pth file")
     p.add_argument("--arch", required=True, choices=sorted(CONVERTERS))
     p.add_argument("--out", required=True, help="output .msgpack path")
+    p.add_argument("--nhead", type=int, default=4,
+                   help="transformer1d only: attention head count of the "
+                        "checkpoint (not stored in the state dict; the "
+                        "reference uses 4)")
     args = p.parse_args(argv)
 
     sd = load_torch_state_dict(args.pth)
-    variables = CONVERTERS[args.arch](sd)
+    if args.arch == "transformer1d":
+        variables = convert_transformer1d(sd, nhead=args.nhead)
+    else:
+        variables = CONVERTERS[args.arch](sd)
     save_converted(variables, args.out)
     flat = flatten_path_dict(variables)
     n_params = sum(

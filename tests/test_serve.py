@@ -395,3 +395,15 @@ def test_encode_multipart_boundary_collision():
     body, ctype = encode_multipart({"file": ("f.bin", evil)})
     fields = parse_multipart(body, ctype)
     assert fields["file"] == evil
+
+
+def test_r_peaks_survive_single_artifact_spike():
+    """A lone photo-artifact spike 3x the true R amplitude must not raise
+    the detection threshold past every real beat (round-3 review
+    finding: the threshold anchors on a high percentile, not the max)."""
+    fs = 250.0
+    t = np.arange(2476) / fs
+    sig = np.exp(-np.square(((t * 1.0) % 1.0 - 0.5) * 20))  # 60 bpm, ~1mV
+    sig[700] = 3.0  # smudge/pen-mark spike
+    f = report.signal_features(sig, fs)
+    assert abs(f["heart_rate"] - 60.0) < 6.0

@@ -90,3 +90,20 @@ def test_transformer1d_logit_parity():
     variables = _torch_to_flax(tm, variables)
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_convert_transformer1d_rejects_bad_nhead():
+    """The head count is not stored in a torch state dict; an nhead that
+    does not divide d_model must fail loudly, not silently mis-group
+    per-head kernels (round-3 review finding)."""
+    import pytest
+
+    from ecgmm_tpu.tools import convert_pth
+
+    sd = {
+        "conv.weight": np.zeros((128, 1, 7), np.float32),
+        "conv.bias": np.zeros((128,), np.float32),
+        "pos_embedding": np.zeros((1, 16, 128), np.float32),
+    }
+    with pytest.raises(ValueError, match="nhead"):
+        convert_pth.convert_transformer1d(sd, nhead=7)
