@@ -36,7 +36,20 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self.keep_epochs = keep_epochs
         self.async_saves = async_saves
-        self._epoch_paths: List[str] = []
+        # Seed the retention window from epochN dirs already on disk so
+        # a resumed run keeps garbage-collecting its predecessor's
+        # checkpoints instead of only the ones this process creates.
+        existing = sorted(
+            (
+                d for d in os.listdir(self.directory)
+                if d.startswith("epoch") and d[5:].isdigit()
+                and os.path.isdir(os.path.join(self.directory, d))
+            ),
+            key=lambda d: int(d[5:]),
+        )
+        self._epoch_paths: List[str] = [
+            os.path.join(self.directory, d) for d in existing
+        ]
         self._executor = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-writer"
         )
@@ -51,10 +64,21 @@ class CheckpointManager:
         self._pending.append(self._executor.submit(fn, *args))
 
     def wait_until_finished(self) -> None:
-        """Drain queued writes; re-raise the first writer error."""
+        """Drain queued writes; re-raise the first writer error. ALL
+        futures are awaited before raising — clearing the queue on the
+        first error would drop still-running writes from tracking and a
+        caller that catches the error could then read a checkpoint the
+        writer thread is mid-rewrite on."""
         pending, self._pending = self._pending, []
+        first_err: Any = None
         for fut in pending:
-            fut.result()
+            try:
+                fut.result()
+            except BaseException as e:
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
 
     def _write(self, name: str, host_state: Any,
                overwrite: bool = True) -> None:
@@ -65,6 +89,13 @@ class CheckpointManager:
 
     def save(self, name: str, state: Any, overwrite: bool = True,
              block: bool = False):
+        if self.async_saves and not block:
+            # Backpressure: each queued save holds a full host snapshot
+            # (params + optimizer moments); with epochs faster than disk
+            # writes (the cached-embedding fast path) an unbounded queue
+            # accumulates gigabytes. Bound in-flight snapshots to 2.
+            while len(self._pending) >= 2:
+                self._pending.pop(0).result()
         # Synchronous device→host snapshot: after this, training may donate
         # or overwrite the device buffers freely.
         host_state = jax.device_get(state)

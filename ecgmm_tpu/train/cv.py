@@ -76,10 +76,16 @@ def _fold_auc(
         for name, idx in zip(("train", "val", "test"), split)
     }
 
+    from ecgmm_tpu.data.pipeline import num_batches
+
     model, task, init_args, freeze = make_model_task(cfg)
     tx = optim_lib.make_optimizer(
         cfg.train,
-        steps_per_epoch=max(1, arrays["train"].n // cfg.train.batch_size),
+        # ceil, like the engine's epoch plan and torch OneCycleLR's
+        # len(train_loader) — floor undercounted total steps so the
+        # tail of every epoch trained at the clamped final LR
+        steps_per_epoch=num_batches(arrays["train"].n,
+                                    cfg.train.batch_size),
     )
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), *init_args)
     state = create_state(
@@ -99,12 +105,17 @@ def _fold_auc(
         task = head_task
     result = engine.fit(
         task, state, tx, arrays["train"], arrays["val"], cfg.train,
-        mesh=mesh, verbose=False,
+        mesh=mesh, verbose=False, keep_best=True,
     )
+    # Score the BEST-val state, as the reference protocol does
+    # (train_kfold.py:117-133 loads best_inner.pth) — the final state is
+    # patience epochs past best by construction on every early stop.
+    best = result.best_state if result.best_state is not None \
+        else result.state
     # one scan dispatch per fold's test pass (evaluate_scan == evaluate,
     # tests/test_engine_equivalence.py)
     ev = engine.evaluate_scan(
-        task, result.state, arrays["test"], cfg.train.eval_bs, mesh
+        task, best, arrays["test"], cfg.train.eval_bs, mesh
     )
     probs = np.asarray(jax.nn.softmax(jnp.asarray(ev.logits))[:, 1])
     return float(M.auroc(jnp.asarray(probs), jnp.asarray(ev.labels)))
@@ -118,10 +129,11 @@ def nested_cv(
     apply_filter: bool = True,
     verbose: bool = True,
 ) -> Dict[str, object]:
-    """Outer k_outer × inner k_inner nested CV; the best-val inner fold's
-    model is scored on the outer test (the reference scores the last
-    inner fold's best checkpoint; we score each inner fold and use the
-    best-val one, documented difference in favour of correctness)."""
+    """Outer k_outer × inner k_inner nested CV. Each inner fold trains to
+    early stop, its best-val state is scored on the outer test, and the
+    outer AUC is the MEAN over the inner folds (the reference scores
+    only the last inner fold's best checkpoint, train_kfold.py:157-172 —
+    the mean is strictly more informative; PARITY.md row)."""
     t = cfg.train
     outer_aucs: List[float] = []
     for fold_id, outer_test, inner_splits in splits.nested_kfold(
@@ -179,7 +191,10 @@ def cross_dataset_eval(
     """Evaluate a trained signal model on a different dataset with
     PTB-XL-matched preprocessing — the reference's evaluation_signal.py:
     20-39,171-219 (40 Hz LP @250 Hz, pad/crop 2476, per-sample z-score is
-    NOT applied there; scaling is the ckpt's training convention)."""
+    NOT applied there; scaling is the ckpt's training convention).
+    Metrics follow the reference's protocol: accuracy/F1 at the
+    F1-maximising threshold (evaluation_signal.py:190-196), reported
+    alongside the threshold itself."""
     with jax.default_device(jax.devices("cpu")[0]):
         x = jnp.asarray(signals, jnp.float32)
         x = preprocess.remove_baseline_drift(x)
@@ -191,11 +206,21 @@ def cross_dataset_eval(
     apply = jax.jit(lambda xb: model.apply(variables, xb))
     logits = []
     for i in range(0, len(x), batch_size):
-        xb = jnp.asarray(x[i:i + batch_size])[..., None]
-        logits.append(np.asarray(apply(xb)))
+        xb = x[i:i + batch_size]
+        # pad the ragged tail up to batch_size: a second odd-shaped jit
+        # compile costs minutes through the TPU relay
+        pad = batch_size - len(xb)
+        if pad > 0:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+        out = np.asarray(apply(jnp.asarray(xb)[..., None]))
+        logits.append(out[:batch_size - pad] if pad > 0 else out)
     logits = np.concatenate(logits)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits))[:, 1])
-    return M.summarize_binary(probs, labels)
+    threshold, _ = M.find_best_threshold(np.asarray(labels), probs)
+    out = M.summarize_binary(probs, labels, threshold=threshold)
+    out["threshold"] = float(threshold)
+    return out
 
 
 def _cross_cli(args) -> None:

@@ -487,6 +487,10 @@ class FitResult:
     history: List[Dict[str, float]]
     best_epoch: int
     stopped_early: bool
+    # host snapshot of the best-val-loss state; populated only with
+    # fit(keep_best=True) (callers without a CheckpointManager — e.g.
+    # the CV harnesses — still need the best model, not the final one)
+    best_state: Optional[TrainState] = None
 
 
 def fit(
@@ -502,8 +506,15 @@ def fit(
     log_prefix: str = "",
     verbose: bool = True,
     train_sample_weights: Optional[np.ndarray] = None,
+    keep_best: bool = False,
 ) -> FitResult:
-    """The reference's epoch loop semantics (train.py:55-167), sharded."""
+    """The reference's epoch loop semantics (train.py:55-167), sharded.
+
+    keep_best: also return a host snapshot of the best-val-loss state in
+    FitResult.best_state (donation-safe — jax.device_get copies before
+    the next epoch can donate the buffers). For callers without a
+    CheckpointManager that must score the BEST model, not the final one
+    (the CV harnesses' reference protocol, train_kfold.py:117-133)."""
     prev_debug_nans = None
     if cfg.debug_nans:
         # jit purity makes data races structural non-issues; numeric
@@ -571,6 +582,7 @@ def fit(
         vidx, vmask = jnp.asarray(vidx), jnp.asarray(vmask)
 
     history: List[Dict[str, float]] = []
+    best_host_state: Optional[TrainState] = None
     best_epoch = -1
     stopped_early = False
     start_epoch = int(state.epoch)
@@ -738,6 +750,8 @@ def fit(
                 lr_reduce_counter=jnp.zeros((), jnp.int32),
             )
             best_epoch = epoch
+            if keep_best:
+                best_host_state = jax.device_get(state)
         elif val_informative:
             state = dataclasses.replace(
                 state,
@@ -787,5 +801,5 @@ def fit(
 
     return FitResult(
         state=state, history=history, best_epoch=best_epoch,
-        stopped_early=stopped_early,
+        stopped_early=stopped_early, best_state=best_host_state,
     )

@@ -91,7 +91,11 @@ def auroc(scores: jnp.ndarray, labels: jnp.ndarray,
 def auroc_ovr_macro(probs: jnp.ndarray, labels: jnp.ndarray,
                     num_classes: int,
                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """One-vs-rest macro AUC (reference train_physionet_multi.py:326-368)."""
+    """One-vs-rest macro AUC (reference train_physionet_multi.py:326-368).
+    Degenerate splits deviate deliberately (PARITY.md): the reference's
+    sklearn call raises and records NaN for the WHOLE metric when any
+    class is absent; here absent classes contribute NaN and nanmean
+    reports the mean over the classes that exist."""
     aucs = [
         auroc(probs[:, c], (labels == c).astype(jnp.int32), mask)
         for c in range(num_classes)
@@ -124,9 +128,12 @@ def find_best_threshold(
 def find_best_threshold_multiclass(
     y_true: np.ndarray, probs: np.ndarray, positive_class: int = 1
 ) -> Tuple[float, float]:
-    """Multiclass variant (reference train_physionet_multi.py:208-218):
-    grid-search a decision threshold for one class against argmax of the
-    rest, maximising that class's F1."""
+    """Multiclass variant: grid-search a decision threshold for one class
+    against argmax of the rest, maximising that class's F1. The cited
+    reference function (train_physionet_multi.py:208-218) is a
+    degenerate no-op — its y_pred ignores the threshold entirely, so it
+    always returns the first grid value; this implements the evident
+    intent (PARITY.md row)."""
     thresholds = np.arange(0.1, 0.9, 0.05)
     others = np.delete(np.arange(probs.shape[1]), positive_class)
     best_t, best_f1 = 0.5, -1.0

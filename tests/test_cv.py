@@ -59,7 +59,7 @@ def test_cross_dataset_eval_with_shipped_ckpt():
     out = cv.cross_dataset_eval(
         model, variables, cohort.signals, cohort.labels
     )
-    assert set(out) == {"accuracy", "f1", "auroc"}
+    assert set(out) == {"accuracy", "f1", "auroc", "threshold"}
     assert 0.0 <= out["accuracy"] <= 1.0
 
 
@@ -99,7 +99,7 @@ def test_cross_cli_with_shipped_ckpt(capsys):
         "--n-synth", "16",
     ])
     out = json.loads(capsys.readouterr().out)
-    assert set(out) == {"accuracy", "f1", "auroc"}
+    assert set(out) == {"accuracy", "f1", "auroc", "threshold"}
     assert 0.0 <= out["accuracy"] <= 1.0
 
 

@@ -449,3 +449,54 @@ def test_debug_nans_is_restored_after_fit(small_data, mesh8):
         mesh=mesh8, verbose=False,
     )
     assert bool(jax.config.jax_debug_nans) == before
+
+
+def test_fit_keep_best_returns_best_state(small_data, mesh8):
+    """keep_best=True must hand back the best-val snapshot — the CV
+    harnesses score it on the outer test (reference protocol loads
+    best_inner.pth, train_kfold.py:117-133); the final state is patience
+    epochs past best on every early stop."""
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=6, lr=5e-2, patience=1,
+        plateau_patience=0, donate_state=True,
+    )
+    model, tx, state = _signal_setup(cfg)
+    task = make_signal_task(model, cfg)
+    result = engine.fit(
+        task, state, tx, small_data.train, small_data.val, cfg,
+        mesh=mesh8, verbose=False, keep_best=True,
+    )
+    assert result.best_state is not None
+    best_val = float(result.best_state.best_val_loss)
+    hist_min = min(h["Loss/Val"] for h in result.history)
+    assert best_val == pytest.approx(hist_min, rel=1e-6)
+    # the snapshot is host-resident (donation-safe) and usable for eval
+    ev = engine.evaluate(
+        engine.make_eval_step(task), result.best_state, small_data.test,
+        cfg.eval_bs, mesh8,
+    )
+    assert np.isfinite(ev.loss)
+
+
+def test_checkpoint_epoch_retention_survives_resume(small_data, tmp_path):
+    """A resumed run's manager must keep pruning epochN dirs written by
+    its predecessor (round-3 review finding: the retention window
+    started empty per process)."""
+    import os
+
+    cfg = TrainConfig(batch_size=16, num_epochs=1, patience=10)
+    model, tx, state = _signal_setup(cfg)
+    m1 = CheckpointManager(str(tmp_path), keep_epochs=2)
+    for e in (1, 2, 3):
+        m1.save_epoch(e, state)
+    m1.close()
+    assert sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("epoch")
+    ) == ["epoch2", "epoch3"]
+
+    m2 = CheckpointManager(str(tmp_path), keep_epochs=2)  # "resume"
+    m2.save_epoch(4, state)
+    m2.close()
+    assert sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("epoch")
+    ) == ["epoch3", "epoch4"]
