@@ -300,14 +300,16 @@ def preprocess_hospital(x: jnp.ndarray) -> jnp.ndarray:
     return filtfilt(filt, remove_baseline_drift(x))
 
 
-def preprocess_ptbxl(x: jnp.ndarray) -> jnp.ndarray:
+def preprocess_ptbxl(x: jnp.ndarray, length: int = 2476) -> jnp.ndarray:
     """PTB-XL: 500→250 Hz decimation, baseline removal, LP 40 Hz, pad/crop
-    2476 (reference train_signal_only_ptb.py:40-53). x: (..., T) @500 Hz."""
+    `length` (the reference pins 2476, train_signal_only_ptb.py:40-53).
+    x: (..., T) @500 Hz. length is configurable so shrunk configs don't
+    silently train on 2476 zero-padded samples."""
     filt = butter_lowpass_ptb()
     y = decimate2(x)
     y = remove_baseline_drift(y)
     y = filtfilt(filt, y)
-    return pad_or_crop(y, 2476)
+    return pad_or_crop(y, length)
 
 
 def preprocess_physionet(x: jnp.ndarray) -> jnp.ndarray:

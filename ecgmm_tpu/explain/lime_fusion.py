@@ -14,11 +14,42 @@ All num_samples perturbations for all test rows run as one batched forward
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def _lime_estimator(predict_proba: Callable, num_samples: int):
+    """One jitted estimator per (predict_proba, num_samples):
+    class_idx/kernel_width/ridge/feature_std are TRACED, so per-class
+    calls and repeated invocations with the same predictor reuse one
+    compiled program (round-3 review finding)."""
+
+    def single(xi, feature_std, class_idx, kernel_width, ridge, k):
+        d = xi.shape[0]
+        noise = jax.random.normal(k, (num_samples, d)) * feature_std
+        pts = xi[None, :] + noise
+        pts = pts.at[0].set(xi)  # LIME keeps the original as row 0
+        # distances in standardised space
+        dist = jnp.sqrt(
+            jnp.sum(((pts - xi[None, :]) / (feature_std + 1e-12)) ** 2, -1)
+        )
+        w = jnp.sqrt(jnp.exp(-(dist ** 2) / kernel_width ** 2))
+        y = predict_proba(pts)[:, class_idx]
+        # weighted ridge: (Z^T W Z + λI)^-1 Z^T W y on centered features
+        z = (pts - xi[None, :]) / (feature_std + 1e-12)
+        zw = z * w[:, None]
+        g = zw.T @ z + ridge * jnp.eye(d)
+        rhs = zw.T @ y
+        return jnp.linalg.solve(g, rhs)
+
+    return jax.jit(
+        jax.vmap(single, in_axes=(0, None, None, None, None, 0))
+    )
 
 
 def lime_tabular(
@@ -41,26 +72,13 @@ def lime_tabular(
     key = key if key is not None else jax.random.PRNGKey(0)
     b, d = x.shape
     kernel_width = kernel_width or np.sqrt(d) * 0.75  # LIME default
-
-    def single(xi, k):
-        noise = jax.random.normal(k, (num_samples, d)) * feature_std
-        pts = xi[None, :] + noise
-        pts = pts.at[0].set(xi)  # LIME keeps the original as row 0
-        # distances in standardised space
-        dist = jnp.sqrt(
-            jnp.sum(((pts - xi[None, :]) / (feature_std + 1e-12)) ** 2, -1)
-        )
-        w = jnp.sqrt(jnp.exp(-(dist ** 2) / kernel_width ** 2))
-        y = predict_proba(pts)[:, class_idx]
-        # weighted ridge: (Z^T W Z + λI)^-1 Z^T W y on centered features
-        z = (pts - xi[None, :]) / (feature_std + 1e-12)
-        zw = z * w[:, None]
-        g = zw.T @ z + ridge * jnp.eye(d)
-        rhs = zw.T @ y
-        return jnp.linalg.solve(g, rhs)
-
     keys = jax.random.split(key, b)
-    return jax.jit(jax.vmap(single))(x, keys)
+    est = _lime_estimator(predict_proba, num_samples)
+    return est(
+        x, jnp.asarray(feature_std), jnp.asarray(class_idx, jnp.int32),
+        jnp.asarray(kernel_width, jnp.float32),
+        jnp.asarray(ridge, jnp.float32), keys,
+    )
 
 
 def lime_modality_contributions(

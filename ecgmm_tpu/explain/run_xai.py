@@ -33,24 +33,39 @@ from ecgmm_tpu.explain.shap_fusion import explain_fusion
 from ecgmm_tpu.models import ECGMultimodalModel
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _encode_batch(model, variables, img, sig, clin):
+    # module-level jit keyed on the hashable Flax module: repeated calls
+    # (and both splits) reuse one compiled program instead of re-tracing
+    # a fresh closure each time
+    feats = model.apply(
+        variables, normalize_images(img), sig, clin,
+        method=type(model).encode,
+    )
+    return jnp.concatenate(feats[:3], axis=1)
+
+
 def compute_embeddings(model, variables, arrays, batch_size: int = 32
                        ) -> np.ndarray:
     """Concatenated LayerNorm'd per-branch features for a split — the
     explanation surface (reference shap_fusion_modal_balance.py:53-93)."""
-    @jax.jit
-    def encode(img, sig, clin):
-        feats = model.apply(
-            variables, normalize_images(img), sig, clin,
-            method=type(model).encode,
-        )
-        return jnp.concatenate(feats[:3], axis=1)
-
     out = []
     for i in range(0, arrays.n, batch_size):
         sl = slice(i, i + batch_size)
-        out.append(np.asarray(encode(
-            arrays.images[sl], arrays.signals[sl], arrays.clinical[sl]
-        )))
+        img = np.asarray(arrays.images[sl])
+        sig = np.asarray(arrays.signals[sl])
+        clin = np.asarray(arrays.clinical[sl])
+        pad = batch_size - img.shape[0]
+        if pad > 0:  # pad the ragged tail: no second odd-shape compile
+            img, sig, clin = (
+                np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                for a in (img, sig, clin)
+            )
+        emb = np.asarray(_encode_batch(model, variables, img, sig, clin))
+        out.append(emb[:batch_size - pad] if pad > 0 else emb)
     return np.concatenate(out)
 
 

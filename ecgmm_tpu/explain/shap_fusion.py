@@ -13,11 +13,35 @@ python loop per sample like the reference's per-sample explainer calls.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def _grad_shap_estimator(f: Callable, n_samples: int):
+    """One jitted estimator per (f, n_samples): class_idx is a TRACED
+    argument, so every class — and every later call with the same f —
+    reuses one compiled program instead of paying a fresh 30–250 s relay
+    trace/compile per invocation (round-3 review finding)."""
+
+    def single(background, xi, class_idx, k1, k2):
+        n_bg = background.shape[0]
+        bidx = jax.random.randint(k1, (n_samples,), 0, n_bg)
+        alphas = jax.random.uniform(k2, (n_samples,))
+        bases = background[bidx]
+        points = bases + alphas[:, None] * (xi[None, :] - bases)
+
+        def out(p):
+            return f(p[None, :])[0, class_idx]
+
+        grads = jax.vmap(jax.grad(out))(points)
+        return jnp.mean(grads * (xi[None, :] - bases), axis=0)
+
+    return jax.jit(jax.vmap(single, in_axes=(None, 0, None, 0, 0)))
 
 
 def gradient_shap(
@@ -34,25 +58,13 @@ def gradient_shap(
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     kb, ka = jax.random.split(key)
-    n_bg = background.shape[0]
-
-    def single(xi, k1, k2):
-        bidx = jax.random.randint(k1, (n_samples,), 0, n_bg)
-        alphas = jax.random.uniform(k2, (n_samples,))
-        bases = background[bidx]
-        points = bases + alphas[:, None] * (xi[None, :] - bases)
-
-        def out(p):
-            return f(p[None, :])[0, class_idx]
-
-        grads = jax.vmap(jax.grad(out))(points)
-        return jnp.mean(grads * (xi[None, :] - bases), axis=0)
-
     keys1 = jax.random.split(kb, x.shape[0])
     keys2 = jax.random.split(ka, x.shape[0])
-    # jit the vmapped estimator: un-jitted vmap still executes op-by-op,
-    # which is seconds per call on relayed backends
-    return jax.jit(jax.vmap(single))(x, keys1, keys2)
+    est = _grad_shap_estimator(f, n_samples)
+    return est(
+        jnp.asarray(background), x, jnp.asarray(class_idx, jnp.int32),
+        keys1, keys2,
+    )
 
 
 def modality_contributions(

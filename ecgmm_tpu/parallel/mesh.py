@@ -29,7 +29,11 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     reserved for future tensor parallelism and defaults to size 1.
     """
     devices = list(devices if devices is not None else jax.devices())
-    n_model = max(1, cfg.n_model)
+    if cfg.n_model < 1:
+        # fail fast: silently clamping --n-model 0 (or a negative typo)
+        # to 1 would change the parallelism layout without a word
+        raise ValueError(f"n_model must be >= 1, got {cfg.n_model}")
+    n_model = cfg.n_model
     n_data = cfg.n_data if cfg.n_data > 0 else len(devices) // n_model
     if cfg.n_data > 0 and n_data * n_model > len(devices):
         raise ValueError(

@@ -40,6 +40,7 @@ from ecgmm_tpu.serve import batching
 from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image, overlay_heatmap
 from ecgmm_tpu.explain.shap_fusion import gradient_shap, modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
+from ecgmm_tpu.serve import digitize as digitize_mod
 from ecgmm_tpu.serve.digitize import digitize_lead2
 from ecgmm_tpu.serve.report import rule_based_report
 
@@ -811,8 +812,13 @@ def make_handler(pipeline: ServingPipeline):
                         f"unknown heatmap_format {fmt!r}; "
                         "expected png, jpeg or cam"
                     )
-                result = pipeline.predict(img, questionnaire,
-                                          heatmap_format=fmt)
+                try:
+                    result = pipeline.predict(img, questionnaire,
+                                              heatmap_format=fmt)
+                except digitize_mod.NoTraceError as e:
+                    # a decodable image with no ECG in it is a client
+                    # problem, not a server fault
+                    raise BadRequest(str(e))
                 self._send_json(result)
             except BadRequest as e:
                 self._send_json({"error": str(e)}, code=400)

@@ -30,6 +30,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+class NoTraceError(ValueError):
+    """The uploaded image contains no discernible ECG trace — a client
+    input problem (blank/overexposed/non-ECG photo), not a server
+    fault; the HTTP layer maps it to a 400."""
+
+
 def _local_max(brightness: np.ndarray, w: int) -> np.ndarray:
     """Per-pixel maximum over the pixel's w×w tile (block max, upsampled
     back). Pure vectorized numpy — ~10× cheaper than a true sliding
@@ -148,8 +154,19 @@ def digitize_lead2(
     deskew: bool = True,
 ) -> np.ndarray:
     """Full pipeline: RGB strip photo (H, W, 3) uint8 → (target_len,)
-    float32 voltage series in mV."""
+    float32 voltage series in mV.
+
+    Raises NoTraceError when too few columns contain ink (blank,
+    overexposed or non-ECG photo): digitizing that to an all-zero
+    'signal' would hand the model a flat line and return a confident
+    diagnosis of nothing."""
     trace, valid = extract_trace(image)
+    if valid.mean() < 0.05:
+        raise NoTraceError(
+            f"no ECG trace found in the image (ink in "
+            f"{100 * valid.mean():.1f}% of columns) — is this a photo "
+            "of an ECG strip?"
+        )
     trace = interpolate_gaps(trace, valid)
     if deskew:
         trace, _ = theil_sen_detrend(trace)

@@ -70,10 +70,22 @@ def ptbxl_label_stats(manifest: pd.DataFrame,
         "afib_ratio": float(counts.get(1, 0)) / max(n, 1),
     }
     if meta is not None:
+        # Align by POSITION, not index: a boolean Series built on
+        # `manifest` indexed into a distinct `meta` frame raises (or
+        # silently compares wrong patients when the indexes happen to
+        # overlap). Require equal lengths — the rows must correspond.
+        if len(meta) != len(manifest):
+            raise ValueError(
+                f"meta has {len(meta)} rows but manifest has "
+                f"{len(manifest)} — pass per-record metadata aligned "
+                "with the manifest rows"
+            )
+        is_af = (manifest["label"] == 1).to_numpy()
         for col in ("age", "weight"):
             if col in meta.columns:
-                a = meta.loc[manifest["label"] == 1, col].dropna()
-                b = meta.loc[manifest["label"] == 0, col].dropna()
+                vals = meta[col].to_numpy()
+                a = pd.Series(vals[is_af]).dropna()
+                b = pd.Series(vals[~is_af]).dropna()
                 if len(a) > 1 and len(b) > 1:
                     t = stats.ttest_ind(a, b, equal_var=False)
                     out[f"{col}_ttest_p"] = float(t.pvalue)

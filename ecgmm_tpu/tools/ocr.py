@@ -35,23 +35,26 @@ _LAB_ALIASES = {
     "감마지티피": ["감마지티피", "GTP"],
 }
 
-_NUM = r"\d{1,3}(?:\.\d+)?"
+# The reference's number pattern (ocr.py:48): \d{1,3}\.?\d* matches
+# 4+-digit values whole ('1250' → '1250'); a {1,3}-with-decimal-group
+# variant would silently truncate them to '125'.
+_NUM = r"\d{1,3}\.?\d*"
 
 
 def _window_number(lines: List[str], i: int, span: int = 3
                    ) -> Optional[str]:
-    """First standalone number on the keyword line or the next `span`
-    lines (the reference's extract_value_from_window pattern)."""
-    for j in range(0, span + 1):
-        if i + j >= len(lines):
-            break
-        text = lines[i + j]
-        if j == 0:
-            # strip the keyword itself so e.g. 'ALT 35' works
-            text = re.sub(r"[A-Za-z가-힣()]+", " ", text)
-        m = re.search(_NUM, text)
-        if m:
-            return m.group(0)
+    """First number within ±`span` lines of the keyword (the reference's
+    extract_value_from_window, ocr.py:44-51, scans -3..+3 so values
+    printed above their keyword are found too). Offset ORDER deviates
+    deliberately: same-line/below first, then above — the reference's
+    strictly-ascending -3..+3 order prefers the PREVIOUS field's value
+    over the keyword's own line whenever fields stack vertically."""
+    for j in [0, 1, 2, 3, -1, -2, -3][:2 * span + 1]:
+        k = i + j
+        if 0 <= k < len(lines):
+            nums = re.findall(_NUM, lines[k])
+            if nums:
+                return nums[0]
     return None
 
 
@@ -102,13 +105,63 @@ def extract_fields(text: str) -> Dict[str, object]:
                 val = _window_number(lines, i)
                 if val:
                     result[field] = val
-                break
+                    # break only once a value was extracted (reference
+                    # ocr.py:115-121) — a keyword in a heading with no
+                    # nearby number must not end the search
+                    break
 
+    # 혈색소 correction (reference ocr.py:123-130): hemoglobin is always
+    # a d.d value; a dotless grab (OCR losing the decimal point, or a
+    # neighboring integer) re-scans 혈색소 lines for \d{1,2}\.\d.
+    if result["혈색소"] and "." not in str(result["혈색소"]):
+        for ln in lines:
+            if "혈색소" in ln:
+                m = re.findall(r"\d{1,2}\.\d", ln)
+                if m:
+                    result["혈색소"] = m[0]
+                    break
+
+    # Lifestyle sections (reference ocr.py:131-172): the national
+    # health-check form puts a checkbox line (✅/■/☑ + category text)
+    # under each of 흡연/음주/운동; map it to the reference's 0/1/2 codes.
+    section = None
+    checked: Dict[str, str] = {}
+    for ln in lines:
+        for key in ("흡연", "음주", "운동"):
+            if key in ln:
+                section = key
+                break
+        if section and any(box in ln for box in ("✅", "■", "☑")):
+            checked[section] = ln
+            section = None
+    smoking = checked.get("흡연", "")
+    if "과거 흡연자" in smoking:
+        result["흡연"] = 1
+    elif "현재 흡연자" in smoking or "전자담배" in smoking:
+        result["흡연"] = 2
+    elif "비흡연자" in smoking:
+        result["흡연"] = 0
+    drinking = checked.get("음주", "")
+    if "비음주자" in drinking:
+        result["음주"] = 0
+    elif any(w in drinking for w in ("적정", "위험", "의심")):
+        result["음주"] = 1
+    exercise = checked.get("운동", "")
+    if "건강증진" in exercise:
+        result["운동"] = 2
+    elif any(w in exercise for w in ("기본", "적절")):
+        result["운동"] = 1
+    elif "부족" in exercise:
+        result["운동"] = 0
+
+    # Inline shorthand fallback ('흡연 : 피움' style) for pluggable text
+    # sources that aren't checkbox forms — only when the checkbox pass
+    # produced nothing for that habit.
     for habit, yes_kw in (("흡연", "피움"), ("음주", "마심"), ("운동", "함")):
+        if result[habit] != "":
+            continue
         for ln in lines:
             if habit in ln:
-                # negated forms ('안마심', '안 피움') must win over the
-                # bare keyword substring
                 negated = ("안" + yes_kw in ln.replace(" ", "")) or (
                     "없" in ln
                 )

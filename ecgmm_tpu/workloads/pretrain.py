@@ -120,17 +120,32 @@ def run_pipeline(
     sig_len = data.train.signals.shape[-1]
     n_clin = data.train.clinical.shape[-1]
 
+    # Stage train configs derive from the per-trainer PRESETS so the
+    # early-stop/plateau semantics can't drift from what each reference
+    # trainer actually does (image_only: no plateau decay; signal_only:
+    # early stopping commented out — config.py docstrings cite lines).
+    from ecgmm_tpu.config import get_preset
+
+    def stage_cfg(preset_name):
+        pt = get_preset(preset_name).train
+        return dataclasses.replace(
+            pt, num_epochs=st.num_epochs, seed=st.seed,
+            eval_batch_size=st.eval_batch_size,
+            checkpoint_dir=st.checkpoint_dir, output_dir=st.output_dir,
+            log_dir=st.log_dir,
+        )
+
     # Stage 1: image-only ResNet18 (train_image_only.py)
+    st_img = stage_cfg("image_only")
     image_model = ResNet18(num_classes=mcfg.num_classes)
     image_vars = _fit_stage(
-        image_model, make_image_task(image_model, st),
-        (jnp.ones(n_img),), data, st, mesh,
+        image_model, make_image_task(image_model, st_img),
+        (jnp.ones(n_img),), data, st_img, mesh,
         os.path.join(run_dir, "image_only"), verbose=verbose,
     )
 
     # Stage 2: signal-only ResNet1D-SE (train_signal_only.py recipe)
-    st_sig = dataclasses.replace(st, loss="focal", schedule="onecycle",
-                                 batch_size=8, onecycle_peak_lr=1e-3)
+    st_sig = stage_cfg("signal_only")
     signal_model = ResNet1DSE(num_classes=mcfg.num_classes)
     signal_vars = _fit_stage(
         signal_model, make_signal_task(signal_model, st_sig),

@@ -104,10 +104,16 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
         )
 
     if cfg.name == "ptbxl_af":
-        manifest_ok = source != "synthetic" and os.path.exists(
-            os.path.join(cfg.data.ptbxl_dir, "ptbxl_database.csv")
-        )
-        if manifest_ok:
+        manifest = os.path.join(cfg.data.ptbxl_dir, "ptbxl_database.csv")
+        if source != "synthetic":
+            if not os.path.exists(manifest):
+                # An explicit real-data request must not silently train
+                # (and report test metrics) on the synthetic cohort.
+                raise FileNotFoundError(
+                    f"real PTB-XL requested but {manifest} not found — "
+                    "point --data-dir at the PTB-XL download or drop "
+                    "--data"
+                )
             mani = sources.load_ptbxl_manifest(cfg.data.ptbxl_dir)
             raw = np.stack([
                 sources.read_wfdb(r, channels=[1])[0][:, 0]
@@ -121,7 +127,8 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
         data = pipeline.materialize_signal(
             raw, labels, split,
             preprocess_fn=lambda s: preprocess.preprocess_ptbxl(
-                jnp.asarray(s, jnp.float32)
+                jnp.asarray(s, jnp.float32),
+                length=cfg.data.signal_len,
             ),
             device=device,
         )
@@ -129,21 +136,27 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
 
     if cfg.name.startswith("physionet"):
         multiclass = cfg.model.num_classes > 2
-        have = source != "synthetic" and os.path.exists(
-            os.path.join(cfg.data.physionet_dir, "REFERENCE.csv")
-        )
-        if have:
+        manifest = os.path.join(cfg.data.physionet_dir, "REFERENCE.csv")
+        if source != "synthetic":
+            if not os.path.exists(manifest):
+                raise FileNotFoundError(
+                    f"real PhysioNet requested but {manifest} not found "
+                    "— point --data-dir at the CinC-2017 download or "
+                    "drop --data"
+                )
             mani = sources.load_physionet_manifest(
                 cfg.data.physionet_dir, multiclass=multiclass
             )
+            length = cfg.data.signal_len
             sigs = []
             for r in mani["record"]:
-                s = sources.read_wfdb(r)[0][:, 0]
-                sigs.append(np.asarray(
-                    preprocess.pad_or_crop(
-                        jnp.asarray(s, jnp.float32), cfg.data.signal_len
-                    )
-                ))
+                s = sources.read_wfdb(r)[0][:, 0].astype(np.float32)
+                # plain numpy right-pad/truncate: a jitted pad here would
+                # pay one relay dispatch per record (~8.5k records)
+                s = s[:length] if len(s) >= length else np.pad(
+                    s, (0, length - len(s))
+                )
+                sigs.append(s)
             raw = np.stack(sigs)
             labels = mani["label"].to_numpy()
         else:
@@ -172,9 +185,9 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
         split = splits.manual_af_split(labels, seed)
         return pipeline.materialize_signal(
             c.signals, labels, split,
-            preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+            preprocess_fn=lambda s: preprocess.preprocess_hospital(
                 jnp.asarray(s, jnp.float32)
-            )),
+            ),
             device=device,
         )
 
@@ -185,9 +198,9 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
         split = splits.stratified_811(c.labels, seed)
         return pipeline.materialize_signal(
             raw, c.labels, split,
-            preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+            preprocess_fn=lambda s: preprocess.preprocess_hospital(
                 jnp.asarray(s, jnp.float32)
-            )),
+            ),
             device=device,
         )
 
@@ -196,9 +209,9 @@ def _signal_task_data(cfg: Config, source: str, n_synth: int,
     split = splits.stratified_811(c.labels, seed)
     return pipeline.materialize_signal(
         c.signals, c.labels, split,
-        preprocess_fn=lambda s: np.asarray(preprocess.preprocess_hospital(
+        preprocess_fn=lambda s: preprocess.preprocess_hospital(
             jnp.asarray(s, jnp.float32)
-        )),
+        ),
         device=device,
     )
 
@@ -264,7 +277,17 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         run_dir: Optional[str] = None, verbose: bool = True,
         resume: bool = False):
     t = cfg.train
-    stamp = time.strftime("%m%d_%H%M%S")
+    if resume and run_dir is None:
+        # A --resume with no --run-dir would mint a fresh timestamp dir,
+        # find no 'last' checkpoint there, and silently retrain from
+        # scratch.
+        raise ValueError("resume=True requires run_dir (the directory "
+                         "holding the checkpoints to continue from)")
+    # One stamp per logical run: a resumed run keeps writing its logs
+    # and test artifacts under the original run's name instead of
+    # scattering them across fresh timestamps.
+    stamp = (os.path.basename(os.path.normpath(run_dir)) if run_dir
+             else time.strftime("%m%d_%H%M%S"))
     run_dir = run_dir or os.path.join(t.checkpoint_dir, stamp)
     mesh = make_mesh(cfg.mesh)
 
@@ -285,100 +308,102 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         if verbose:
             print(f"resumed from {run_dir} at epoch {int(state.epoch)}")
     writer = MetricWriter(os.path.join(t.log_dir, stamp))
-    # inverse-class-frequency weighted sampling for the PTB-XL task
-    # (reference train_signal_only_ptb.py:230-241)
-    # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES, else 60% of
-    # the device's reported limit, else unlimited — pipeline.
-    # resolve_hbm_budget) stay host-resident and stream through the
-    # engine's double-buffered prefetch path. That includes the test
-    # split: it is usually small enough to promote (≈10% of the cohort,
-    # and the one-dispatch evaluate_scan protocol wants a device pool),
-    # but at the scales the streaming path exists for, 10% of the
-    # dataset can itself exceed HBM — then the test protocol streams too
-    # (engine.evaluate_streamed) instead of OOMing on an unconditional
-    # upload.
-    budget = pipeline.resolve_hbm_budget()
-    if budget:
-        data = dataclasses.replace(
-            data,
-            train=pipeline.fit_in_budget(data.train, budget),
-            val=pipeline.fit_in_budget(data.val, budget),
-            test=pipeline.fit_in_budget(data.test, budget),
+    try:
+        # inverse-class-frequency weighted sampling for the PTB-XL task
+        # (reference train_signal_only_ptb.py:230-241)
+        # Splits over the HBM budget (ECGMM_HBM_BUDGET_BYTES, else 60% of
+        # the device's reported limit, else unlimited — pipeline.
+        # resolve_hbm_budget) stay host-resident and stream through the
+        # engine's double-buffered prefetch path. That includes the test
+        # split: it is usually small enough to promote (≈10% of the cohort,
+        # and the one-dispatch evaluate_scan protocol wants a device pool),
+        # but at the scales the streaming path exists for, 10% of the
+        # dataset can itself exceed HBM — then the test protocol streams too
+        # (engine.evaluate_streamed) instead of OOMing on an unconditional
+        # upload.
+        budget = pipeline.resolve_hbm_budget()
+        if budget:
+            data = dataclasses.replace(
+                data,
+                train=pipeline.fit_in_budget(data.train, budget),
+                val=pipeline.fit_in_budget(data.val, budget),
+                test=pipeline.fit_in_budget(data.test, budget),
+            )
+            if (t.stream_chunk_batches == 0
+                    and isinstance(data.train, pipeline.HostArrays)):
+                auto_k = pipeline.auto_chunk_batches(
+                    budget, data.train, t.batch_size, t.eval_bs
+                )
+                env_k = os.environ.get("ECGMM_STREAM_CHUNK_BATCHES")
+                t = dataclasses.replace(
+                    t,
+                    stream_chunk_batches=int(env_k) if env_k else int(auto_k),
+                )
+                if verbose and t.stream_chunk_batches > 1:
+                    print(f"streaming in super-chunks of "
+                          f"{t.stream_chunk_batches} batches")
+
+        # Cached-embedding fusion fast path: precompute the frozen encoders'
+        # outputs once per split (one scan dispatch each) and train/evaluate
+        # the fusion surface over them (train/embed.py; PARITY.md row).
+        from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+
+        splits, head_task = maybe_cache_fusion_embeddings(
+            model, state,
+            {"train": data.train, "val": data.val, "test": data.test},
+            t, mesh, frozen=t.freeze_encoders,
         )
-        if (t.stream_chunk_batches == 0
-                and isinstance(data.train, pipeline.HostArrays)):
-            auto_k = pipeline.auto_chunk_batches(
-                budget, data.train, t.batch_size, t.eval_bs
-            )
-            env_k = os.environ.get("ECGMM_STREAM_CHUNK_BATCHES")
-            t = dataclasses.replace(
-                t,
-                stream_chunk_batches=int(env_k) if env_k else int(auto_k),
-            )
-            if verbose and t.stream_chunk_batches > 1:
-                print(f"streaming in super-chunks of "
-                      f"{t.stream_chunk_batches} batches")
+        if head_task is not None:
+            data = dataclasses.replace(data, **splits)
+            task = head_task
 
-    # Cached-embedding fusion fast path: precompute the frozen encoders'
-    # outputs once per split (one scan dispatch each) and train/evaluate
-    # the fusion surface over them (train/embed.py; PARITY.md row).
-    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
-
-    splits, head_task = maybe_cache_fusion_embeddings(
-        model, state,
-        {"train": data.train, "val": data.val, "test": data.test},
-        t, mesh, frozen=t.freeze_encoders,
-    )
-    if head_task is not None:
-        data = dataclasses.replace(data, **splits)
-        task = head_task
-
-    weights = None
-    if cfg.name == "ptbxl_af":
-        lab = np.asarray(data.train.labels)
-        counts = np.bincount(lab, minlength=cfg.model.num_classes)
-        weights = (1.0 / np.maximum(counts, 1))[lab]
-    result = engine.fit(
-        task, state, tx, data.train, data.val, t,
-        mesh=mesh, ckpt=ckpt, writer=writer, verbose=verbose,
-        train_sample_weights=weights,
-    )
-
-    # Test protocol: best then last (reference train.py:174-336), each as
-    # ONE scan dispatch; the compiled eval program is shared between tags.
-    # An over-budget test split (HostArrays) streams instead.
-    test_streamed = isinstance(data.test, pipeline.HostArrays)
-    eval_epoch = (
-        None if test_streamed
-        else engine.make_eval_epoch(task, data.test, mesh=mesh)
-    )
-    streamed_prog = (
-        engine.make_streamed_eval_program(
-            task, mesh=mesh, chunked=t.stream_chunk_batches > 1
+        weights = None
+        if cfg.name == "ptbxl_af":
+            lab = np.asarray(data.train.labels)
+            counts = np.bincount(lab, minlength=cfg.model.num_classes)
+            weights = (1.0 / np.maximum(counts, 1))[lab]
+        result = engine.fit(
+            task, state, tx, data.train, data.val, t,
+            mesh=mesh, ckpt=ckpt, writer=writer, verbose=verbose,
+            train_sample_weights=weights,
         )
-        if test_streamed else None
-    )
-    out_dir = os.path.join(t.output_dir, stamp)
-    results = {}
-    for tag in ("best", "last"):
-        st = ckpt.restore(tag, result.state) if ckpt.exists(tag) else result.state
-        if test_streamed:
-            ev = engine.evaluate_streamed(
-                task, st, data.test, t.eval_bs, mesh,
-                stream_chunk_batches=t.stream_chunk_batches,
-                program=streamed_prog,
-            )
-        else:
-            ev = engine.evaluate_scan(
-                task, st, data.test, t.eval_bs, mesh, eval_epoch=eval_epoch
-            )
-        results[tag] = test_report(
-            ev.logits, ev.labels, out_dir, tag,
-            threshold_search=(t.loss == "focal"),
+
+        # Test protocol: best then last (reference train.py:174-336), each as
+        # ONE scan dispatch; the compiled eval program is shared between tags.
+        # An over-budget test split (HostArrays) streams instead.
+        test_streamed = isinstance(data.test, pipeline.HostArrays)
+        eval_epoch = (
+            None if test_streamed
+            else engine.make_eval_epoch(task, data.test, mesh=mesh)
         )
-        if verbose:
-            print(f"[{tag}] {results[tag]}")
-    writer.close()
+        streamed_prog = (
+            engine.make_streamed_eval_program(
+                task, mesh=mesh, chunked=t.stream_chunk_batches > 1
+            )
+            if test_streamed else None
+        )
+        out_dir = os.path.join(t.output_dir, stamp)
+        results = {}
+        for tag in ("best", "last"):
+            st = ckpt.restore(tag, result.state) if ckpt.exists(tag) else result.state
+            if test_streamed:
+                ev = engine.evaluate_streamed(
+                    task, st, data.test, t.eval_bs, mesh,
+                    stream_chunk_batches=t.stream_chunk_batches,
+                    program=streamed_prog,
+                )
+            else:
+                ev = engine.evaluate_scan(
+                    task, st, data.test, t.eval_bs, mesh, eval_epoch=eval_epoch
+                )
+            results[tag] = test_report(
+                ev.logits, ev.labels, out_dir, tag,
+                threshold_search=(t.loss == "focal"),
+            )
+            if verbose:
+                print(f"[{tag}] {results[tag]}")
+    finally:
+        writer.close()
     return result, results
 
 
@@ -440,9 +465,20 @@ def main(argv=None):
         cache_embeddings=args.cache_embeddings,
     )
     if args.data_dir:
+        # One flag, one meaning: wherever this preset's data lives. The
+        # hospital layout reads data_dir; the PTB-XL/PhysioNet presets
+        # read their own dir fields, so point all of them there.
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, data_dir=args.data_dir)
+            cfg, data=dataclasses.replace(
+                cfg.data, data_dir=args.data_dir,
+                ptbxl_dir=args.data_dir, physionet_dir=args.data_dir,
+            )
         )
+        if args.data == "synthetic":
+            # An explicit --data-dir IS a real-data request; defaulting
+            # to the synthetic cohort here silently trained and reported
+            # metrics on fake data (round-3 review finding).
+            args.data = "hospital"
     if args.n_model is not None:
         cfg = dataclasses.replace(
             cfg, mesh=dataclasses.replace(cfg.mesh, n_model=args.n_model)

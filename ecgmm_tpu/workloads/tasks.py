@@ -23,7 +23,9 @@ from ecgmm_tpu.train import losses
 from ecgmm_tpu.train.engine import Task
 
 
-def _split_mutable(variables, model_state_keys=("batch_stats",)):
+def _split_mutable(variables):
+    """Everything except params goes to TrainState.model_state (today
+    that is only 'batch_stats'; any future collection rides along)."""
     return {k: v for k, v in variables.items() if k != "params"}
 
 
@@ -104,9 +106,12 @@ def make_image_task(model, cfg: TrainConfig) -> Task:
     )
 
 
-def make_clinical_task(model, cfg: TrainConfig, num_classes: int = 2) -> Task:
+def make_clinical_task(model, cfg: TrainConfig,
+                       num_classes: int = 2) -> "Tuple[Task, object]":
     """Clinical-encoder pretraining: encoder + linear probe, with the
-    TabNet sparsity loss added when present."""
+    TabNet sparsity loss added when present. Unlike the sibling
+    factories this returns (task, probe_module) — the probe is the
+    model whose variables the caller inits/saves."""
     import flax.linen as nn
 
     class Probe(nn.Module):

@@ -143,3 +143,16 @@ def test_millivolt_scale_accuracy():
     mv = digitize.digitize_lead2(img, px_per_mv=px_per_unit)
     err = (mv - mv.mean()) - (sig - sig.mean())
     assert float(np.sqrt(np.mean(err**2))) < 0.1
+
+
+def test_blank_image_raises_no_trace():
+    """A blank/overexposed photo must FAIL digitization (NoTraceError →
+    HTTP 400), not silently become an all-zero 'signal' that the model
+    confidently diagnoses (round-3 review finding)."""
+    import pytest
+
+    from ecgmm_tpu.serve.digitize import NoTraceError, digitize_lead2
+
+    blank = np.full((250, 2500, 3), 245, np.uint8)
+    with pytest.raises(NoTraceError, match="no ECG trace"):
+        digitize_lead2(blank)

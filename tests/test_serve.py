@@ -262,6 +262,15 @@ def test_http_endpoint_client_errors_are_400(server):
         "heatmap_format": (None, b"jpg"),  # typo for jpeg: reject, don't
     })                                      # silently coerce to png
     cases.append((body, ctype, "unknown heatmap_format"))
+    blank = io.BytesIO()  # decodable image with no ECG in it
+    Image.fromarray(np.full((250, 500, 3), 245, np.uint8)).save(
+        blank, format="JPEG"
+    )
+    body, ctype = _multipart({
+        "file": ("f.jpg", blank.getvalue()),
+        "questionnaire": (None, b"{}"),
+    })
+    cases.append((body, ctype, "no ECG trace"))
 
     for body, ctype, want in cases:
         with pytest.raises(urllib.error.HTTPError) as e:

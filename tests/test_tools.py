@@ -98,3 +98,34 @@ def test_step_timer():
         with t:
             sum(range(1000))
     assert np.isfinite(t.samples_per_sec(32))
+
+
+def test_ocr_reference_semantics():
+    """Round-3 review findings vs the reference extractor (ocr.py:44-172):
+    4+-digit values survive whole, values above their keyword are found,
+    the hemoglobin decimal correction applies, a keyword heading with no
+    nearby number doesn't end the search, and checkbox lifestyle lines
+    map to the reference's 0/1/2 codes."""
+    text = (
+        "혈색소 135 13.5\n"      # dotless first grab → corrected to 13.5
+        "흡연 이력\n"
+        "☑ 현재 흡연자\n"        # → 2
+        "음주\n"
+        "■ 비음주자\n"           # → 0
+        "운동\n"
+        "✅ 건강증진 실천\n"      # → 2
+        "1250\n"
+        "중성지방\n"             # value on the line ABOVE the keyword
+    )
+    f = ocr.extract_fields(text)
+    assert f["중성지방"] == "1250"
+    assert f["혈색소"] == "13.5"
+    assert f["흡연"] == 2 and f["음주"] == 0 and f["운동"] == 2
+
+    # a heading mention with no nearby number must not stop the scan
+    lines = ["혈당 검사 안내"] + ["-"] * 5 + ["공복혈당 105"]
+    f2 = ocr.extract_fields("\n".join(lines))
+    assert f2["공복혈당"] == "105"
+
+    # 4-digit value on the keyword line itself
+    assert ocr.extract_fields("중성지방 1250\n")["중성지방"] == "1250"
