@@ -13,10 +13,15 @@ Two variants, matching the reference:
 
 Ghost BatchNorm parity: pytorch_tabnet normalizes GLU/attentive-transformer
 activations per virtual batch of 128 (GBN — torch `x.chunk(ceil(B/128))`
-through one shared BatchNorm1d). `_ghost_bn` reproduces that exactly,
-including the sequential running-stat updates per chunk; batches ≤128
-degenerate to plain BatchNorm (bit-identical to round 1, tested). The
-initial input BN is plain BatchNorm1d in pytorch_tabnet and stays plain.
+through one shared BatchNorm1d). `_ghost_bn` reproduces the normalized
+OUTPUTS exactly (greedy torch.chunk boundaries included) and applies one
+running-stat momentum update per chunk like torch; the one deliberate
+deviation (PARITY.md): each chunk's running-VAR update accumulates the
+flax convention (biased, N) where torch BatchNorm1d uses unbiased (N−1)
+— outputs in train mode are unaffected, eval-mode running_var differs by
+~vbs/(vbs−1) per update (tests/test_tabnet_parity.py pins both facts).
+Batches ≤128 degenerate to plain BatchNorm. The initial input BN is
+plain BatchNorm1d in pytorch_tabnet and stays plain.
 """
 
 from __future__ import annotations
@@ -160,8 +165,12 @@ class TabNetEncoder(nn.Module):
     the reference's forward_masks path (multimodal.py:170-240)."""
 
     out_dim: int = 32
-    n_d: int = 32
-    n_a: int = 32
+    # 0 = track out_dim, like the reference's ClinicalTabNetEncoder
+    # (multimodal.py:114-123 builds TabNetNoEmbeddings with
+    # n_d=n_a=latent_dim); a fixed 32 would silently change the
+    # architecture for any non-32 clinical_dim.
+    n_d: int = 0
+    n_a: int = 0
     n_steps: int = 3
     gamma: float = 1.5
     n_independent: int = 2
@@ -177,7 +186,7 @@ class TabNetEncoder(nn.Module):
         self, x: jnp.ndarray, train: bool = False,
         return_masks: bool = False,
     ):
-        d, a = self.n_d, self.n_a
+        d, a = self.n_d or self.out_dim, self.n_a or self.out_dim
         input_dim = x.shape[-1]
         x = x.astype(self.dtype)
         x = nn.BatchNorm(

@@ -84,13 +84,20 @@ class AttentionFusion(nn.Module):
         )
 
 
-def _chunk_variance_loss(img, sig, clin):
+def _chunk_variance_loss(img, sig, clin, mask=None):
     """|var_i − var_s| + |var_i − var_c| + |var_s − var_c| with per-sample
     feature variances (torch.var default: unbiased/ddof=1 — matched here;
-    reference multimodal.py:463-467)."""
+    reference multimodal.py:463-467). mask (B,) excludes zero-padded rows
+    from the batch mean — a pad row's post-LayerNorm feature is the LN
+    bias vector, whose variance would otherwise shift the regulariser
+    and push gradients into the norms from fabricated samples."""
 
     def v(x):
-        return jnp.mean(jnp.var(x.astype(jnp.float32), axis=1, ddof=1))
+        rows = jnp.var(x.astype(jnp.float32), axis=1, ddof=1)
+        if mask is None:
+            return jnp.mean(rows)
+        m = mask.astype(jnp.float32)
+        return jnp.sum(rows * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     vi, vs, vc = v(img), v(sig), v(clin)
     return jnp.abs(vi - vs) + jnp.abs(vi - vc) + jnp.abs(vs - vc)
@@ -186,7 +193,7 @@ class ECGMultimodalModel(nn.Module):
         return img_raw, sig_raw, clin.astype(jnp.float32)
 
     def from_embeddings(self, img_raw, sig_raw, clin_raw,
-                        train: bool = False) -> FusionOutput:
+                        mask=None, train: bool = False) -> FusionOutput:
         """The full trainable forward over precomputed `encode_raw`
         outputs: identical FusionOutput semantics to `__call__` (m_loss is
         0 — the reference fusion loss never uses it, train.py:78)."""
@@ -200,7 +207,8 @@ class ECGMultimodalModel(nn.Module):
             img_feat, sig_feat, clin_feat
         )
         fusion_logits = self.head(fused, train=train)
-        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat)
+        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat,
+                                        mask=mask)
         return FusionOutput(
             image_logits=image_logits,
             signal_logits=signal_logits,
@@ -218,8 +226,8 @@ class ECGMultimodalModel(nn.Module):
         fused, _ = self.attention_fusion(img_feat, sig_feat, clin_feat)
         return self.head(fused)
 
-    def __call__(self, image, signal, clinical, train: bool = False
-                 ) -> FusionOutput:
+    def __call__(self, image, signal, clinical, mask=None,
+                 train: bool = False) -> FusionOutput:
         img_feat, sig_feat, clin_feat, m_loss = self.encode(
             image, signal, clinical, train=train
         )
@@ -231,7 +239,8 @@ class ECGMultimodalModel(nn.Module):
             img_feat, sig_feat, clin_feat
         )
         fusion_logits = self.head(fused, train=train)
-        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat)
+        var_loss = _chunk_variance_loss(img_feat, sig_feat, clin_feat,
+                                        mask=mask)
         return FusionOutput(
             image_logits=image_logits,
             signal_logits=signal_logits,

@@ -27,10 +27,20 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     """Compile the shared library if stale. Returns an error message or
-    None."""
+    None. Freshness requires BOTH a newer-than-source mtime AND a
+    matching host-CPU fingerprint sidecar: the build uses -march=native,
+    so a .so produced on another machine can contain instructions this
+    host SIGILLs on (same skew utils/cache.py guards the XLA cache
+    against)."""
+    from ecgmm_tpu.utils.cache import _host_fingerprint
+
+    fp_path = _LIB + ".host"
+    fp = _host_fingerprint()
     if (
         os.path.exists(_LIB)
         and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        and os.path.exists(fp_path)
+        and open(fp_path).read() == fp
     ):
         return None
     cmd = [
@@ -45,6 +55,8 @@ def _build() -> Optional[str]:
         return f"native build failed to launch: {e}"
     if proc.returncode != 0:
         return f"native build failed: {proc.stderr[-2000:]}"
+    with open(fp_path, "w") as f:
+        f.write(fp)
     return None
 
 
@@ -102,6 +114,17 @@ def remove_baseline(x: np.ndarray, window: int = 200) -> np.ndarray:
     return out.reshape(shape)
 
 
+def _check_filtfilt_len(n_samples: int, n_coef: int) -> None:
+    """scipy (and the C++ odd extension) require T > padlen = 3*n_coef;
+    shorter rows would read out of bounds in filtfilt_one."""
+    padlen = 3 * n_coef
+    if n_samples <= padlen:
+        raise ValueError(
+            f"filtfilt needs x.shape[-1] > padlen ({padlen}); got "
+            f"{n_samples}"
+        )
+
+
 def filtfilt(filt, x: np.ndarray) -> np.ndarray:
     """filt: ecgmm_tpu.data.preprocess.IIRFilter."""
     lib = get_lib()
@@ -109,6 +132,7 @@ def filtfilt(filt, x: np.ndarray) -> np.ndarray:
         raise RuntimeError(f"native engine unavailable: {_build_error}")
     shape = np.shape(x)
     x2 = _as2d(x)
+    _check_filtfilt_len(x2.shape[1], len(filt.b))
     out = np.empty_like(x2)
     b = np.ascontiguousarray(filt.b, np.float64)
     a = np.ascontiguousarray(filt.a, np.float64)
@@ -131,6 +155,7 @@ def preprocess_hospital(x: np.ndarray, window: int = 200) -> np.ndarray:
     filt = butter_lowpass()
     shape = np.shape(x)
     x2 = _as2d(x)
+    _check_filtfilt_len(x2.shape[1], len(filt.b))
     out = np.empty_like(x2)
     b = np.ascontiguousarray(filt.b, np.float64)
     a = np.ascontiguousarray(filt.a, np.float64)

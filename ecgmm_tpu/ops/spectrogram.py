@@ -1,9 +1,10 @@
 """Batched STFT log-spectrogram in pure JAX.
 
 Matches scipy.signal.stft semantics for the reference's CRNN front-end
-(`/root/reference/train_physionet2.py:30-35`: tukey(0.25) window,
-nperseg 64, noverlap 32, zero-padded boundary, scaling='spectrum'-style
-window normalisation). Runs as one batched rfft on device rather than the
+(`/root/reference/train_physionet2.py:30-35`: window='tukey', which
+scipy resolves to tukey with its DEFAULT alpha=0.5 — verified against
+get_window — nperseg 64, noverlap 32, zero-padded boundary,
+scaling='spectrum'-style window normalisation). Runs as one batched rfft on device rather than the
 reference's per-sample host scipy call.
 """
 
@@ -13,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def tukey_window(m: int, alpha: float = 0.25, periodic: bool = False
+def tukey_window(m: int, alpha: float = 0.5, periodic: bool = False
                  ) -> np.ndarray:
     """scipy.signal.windows.tukey. periodic=True matches
     scipy.signal.get_window's fftbins=True default (what stft uses)."""
@@ -37,7 +38,7 @@ def tukey_window(m: int, alpha: float = 0.25, periodic: bool = False
 
 def stft_mag(
     x: jnp.ndarray, nperseg: int = 64, noverlap: int = 32,
-    window_alpha: float = 0.25,
+    window_alpha: float = 0.5,
 ) -> jnp.ndarray:
     """|STFT| with scipy's default framing: the signal is extended by
     nperseg//2 zeros on both ends (boundary='zeros', padded=True), frames
@@ -52,9 +53,7 @@ def stft_mag(
     scale = 1.0 / jnp.sum(win)
 
     half = nperseg // 2
-    pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
-    xe = jnp.pad(x, pad)
-    t = xe.shape[-1]
+    t = x.shape[-1] + 2 * half
     n_frames = 1 + (t - nperseg) // hop
     # pad the tail so the last partial frame is included (scipy padded=True)
     needed = (n_frames - 1) * hop + nperseg

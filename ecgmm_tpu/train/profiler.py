@@ -16,21 +16,17 @@ SURVEY.md §5). Here:
 
 from __future__ import annotations
 
-import contextlib
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
 
 
-@contextlib.contextmanager
-def trace(logdir: str) -> Iterator[None]:
-    jax.profiler.start_trace(logdir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+# jax.profiler.trace is the public context manager with exactly the
+# start/stop-in-finally semantics we need — alias it instead of
+# re-implementing it.
+trace = jax.profiler.trace
 
 
 class StepTimer:

@@ -101,7 +101,7 @@ def test_report(
         os.makedirs(output_dir, exist_ok=True)
         cm = M.confusion_matrix(preds, labels, num_classes)
         _save_confusion_png(
-            cm, os.path.join(output_dir, f"confusion_{tag}.png"), class_names
+            cm, os.path.join(output_dir, f"confusion_{tag}.png"), names
         )
         if num_classes == 2:
             _save_roc_png(

@@ -187,6 +187,7 @@ def make_fusion_task(model, cfg: TrainConfig) -> Task:
             _image_input(batch.images, dtype),
             batch.signals,
             batch.clinical,
+            batch.mask,  # var_loss must exclude zero-padded rows
         )
 
     return Task(
@@ -208,6 +209,7 @@ def make_fusion_head_task(model, cfg: TrainConfig) -> Task:
     def apply(variables, batch: Batch, train: bool, rngs):
         outputs = model.apply(
             variables, batch.images, batch.signals, batch.clinical,
+            mask=batch.mask,
             train=train, rngs=rngs if train else None, method=method,
         )
         # no BatchNorm in the trainable surface — model_state passes through

@@ -84,14 +84,15 @@ def _eval_encoder_fusion_task(model, cfg):
     re-run inside every step, trainable surface in train mode."""
     from ecgmm_tpu.train.engine import Task
 
-    def method(mdl, image, signal, clinical, train):
+    def method(mdl, image, signal, clinical, mask, train):
         img_r, sig_r, cli_r = mdl.encode_raw(image, signal, clinical)
-        return mdl.from_embeddings(img_r, sig_r, cli_r, train=train)
+        return mdl.from_embeddings(img_r, sig_r, cli_r, mask=mask,
+                                   train=train)
 
     def apply(variables, batch, train, rngs):
         outputs = model.apply(
             variables, pipeline.normalize_images(batch.images),
-            batch.signals, batch.clinical, train=train,
+            batch.signals, batch.clinical, batch.mask, train=train,
             rngs=rngs if train else None, method=method,
         )
         return outputs, {k: v for k, v in variables.items() if k != "params"}

@@ -77,8 +77,10 @@ def test_ptbxl_real_files_end_to_end(tmp_path):
     cfg = _shrunk("ptbxl_af", tmp_path, ptbxl_dir=str(tmp_path),
                   signal_len=500)
     data = runner.load_data(cfg, "real", n_synth=0)
-    # 500 Hz records decimated to 250 Hz then padded/cropped to 2476
-    assert data.train.signals.shape[-1] == 2476
+    # 500 Hz records decimated to 250 Hz then padded/cropped to the
+    # config's signal_len (the reference pins 2476; round 3 made the
+    # length follow cfg.data.signal_len instead of a hardcoded constant)
+    assert data.train.signals.shape[-1] == cfg.data.signal_len == 500
     labels = np.concatenate([
         np.asarray(s.labels) for s in (data.train, data.val, data.test)
     ])

@@ -363,3 +363,39 @@ def test_ghost_batchnorm_torch_chunk_boundaries():
     np.testing.assert_allclose(
         np.asarray(out), np.concatenate(expect), atol=2e-5
     )
+
+
+def test_variance_loss_masks_pad_rows(rng):
+    """Zero-padded rows must not shift var_loss: a pad row's
+    post-LayerNorm feature is the LN bias vector, whose variance would
+    otherwise leak into the regulariser and its gradients (round-3
+    review finding; PARITY.md row)."""
+    cfg = ModelConfig(dtype="float32")
+    model = ECGMultimodalModel(cfg=cfg)
+    b = 4
+    img = jnp.asarray(rng.normal(size=(b, 64, 64, 3)), jnp.float32)
+    sig = jnp.asarray(rng.normal(size=(b, 512)), jnp.float32)
+    clin = jnp.asarray(
+        rng.normal(size=(b, cfg.clinical_in_features)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), img, sig, clin)
+
+    real = model.apply(variables, img, sig, clin,
+                       mask=jnp.ones((b,)))
+
+    def pad(a, p):
+        return jnp.concatenate([a, jnp.zeros((p,) + a.shape[1:], a.dtype)])
+
+    p = 3
+    mask = jnp.concatenate([jnp.ones((b,)), jnp.zeros((p,))])
+    padded = model.apply(
+        variables, pad(img, p), pad(sig, p), pad(clin, p), mask=mask
+    )
+    np.testing.assert_allclose(
+        float(padded.var_loss), float(real.var_loss), rtol=2e-5
+    )
+    # without the mask the pad rows DO shift it (the old behavior)
+    unmasked = model.apply(
+        variables, pad(img, p), pad(sig, p), pad(clin, p)
+    )
+    assert abs(float(unmasked.var_loss) - float(real.var_loss)) > 1e-6

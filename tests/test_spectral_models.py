@@ -14,13 +14,16 @@ from ecgmm_tpu.ops.spectrogram import stft_mag, tukey_window
 
 def test_tukey_window_matches_scipy():
     np.testing.assert_allclose(
-        tukey_window(64, 0.25), sps.windows.tukey(64, 0.25), atol=1e-12
+        tukey_window(64, 0.5), sps.windows.tukey(64, 0.5), atol=1e-12
     )
 
 
 def test_stft_mag_matches_scipy(rng):
     x = rng.normal(size=900).astype(np.float64)
-    f, t, Z = sps.stft(x, fs=300, window=("tukey", 0.25),
+    # window="tukey" exactly as the reference writes it — scipy resolves
+    # it to alpha=0.5 (round-3 review finding: a ("tukey", 0.25) golden
+    # here previously encoded the same wrong constant as the op)
+    f, t, Z = sps.stft(x, fs=300, window="tukey",
                        nperseg=64, noverlap=32)
     want = np.abs(Z)
     got = np.asarray(stft_mag(jnp.asarray(x, jnp.float32)))
@@ -32,7 +35,7 @@ def test_log_spectrogram_matches_reference_pipeline(rng):
     x = rng.normal(size=(3, 600)).astype(np.float32)
     got = np.asarray(log_spectrogram(jnp.asarray(x)))
     for i in range(3):
-        _, _, Z = sps.stft(x[i], fs=300, window=("tukey", 0.25),
+        _, _, Z = sps.stft(x[i], fs=300, window="tukey",
                            nperseg=64, noverlap=32)
         np.testing.assert_allclose(
             got[i], np.log1p(np.abs(Z)), rtol=0, atol=2e-5

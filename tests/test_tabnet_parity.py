@@ -206,6 +206,11 @@ def _randomized_pair(input_dim=9, output_dim=32, seed=0, **kw):
     variables = convert_pth.convert_tabnet(sd)
     fmodel = TabNetEncoder(
         out_dim=output_dim,
+        # the torch replica fixes n_d=n_a=32 independent of output_dim;
+        # the flax default now TRACKS out_dim (reference
+        # multimodal.py:117 n_d=latent_dim), so pin them here
+        n_d=kw.get("n_d", 32),
+        n_a=kw.get("n_a", 32),
         virtual_batch_size=kw.get("vbs", 128),
         n_steps=kw.get("n_steps", 3),
     )
@@ -312,7 +317,7 @@ def test_tabnet_pth_file_roundtrip(tmp_path):
     variables = convert_pth.convert_tabnet(
         convert_pth.load_torch_state_dict(path)
     )
-    fmodel = TabNetEncoder(out_dim=12)
+    fmodel = TabNetEncoder(out_dim=12, n_d=32, n_a=32)
     x = np.random.default_rng(5).normal(size=(4, 7)).astype(np.float32)
     with torch.no_grad():
         want, _ = tmodel(torch.from_numpy(x))
