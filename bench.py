@@ -38,6 +38,12 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    if steps < 5:
+        # the difference method below needs steps > k_small (=max(2,
+        # steps//5)); smaller values would print 0/negative throughput
+        # as well-formed JSON a driver would ingest silently
+        print(f"BENCH_STEPS={steps} too small; using 5", file=sys.stderr)
+        steps = 5
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

@@ -67,6 +67,24 @@ def normalize_images(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     )
 
 
+def filter_signals_host(sig_np: np.ndarray) -> np.ndarray:
+    """The hospital signal filter on host: prefer the threaded C++
+    engine (ecgmm_tpu/native, scipy-exact), fall back to the JAX
+    lax.scan implementation on CPU. Shared by the offline
+    materialisation AND the serving request path so train and serve see
+    the same preprocessing implementation."""
+    try:
+        from ecgmm_tpu import native
+
+        if native.available():
+            return native.preprocess_hospital(sig_np).astype(np.float32)
+    except Exception:
+        pass
+    return np.asarray(
+        preprocess.preprocess_hospital(jnp.asarray(sig_np)), np.float32
+    )
+
+
 def materialize_trimodal(
     cohort: synthetic.SyntheticCohort,
     cfg: Config,
@@ -100,20 +118,6 @@ def materialize_trimodal(
     ecg_scaler = preprocess.Scaler.fit(cohort.signals[sp.train])
     clin_scaler = preprocess.Scaler.fit(cohort.clinical[sp.train, :n_scaled])
 
-    def _filter_signals(sig_np: np.ndarray) -> np.ndarray:
-        # Prefer the threaded C++ engine (ecgmm_tpu/native, scipy-exact);
-        # fall back to the JAX lax.scan implementation on CPU.
-        try:
-            from ecgmm_tpu import native
-
-            if native.available():
-                return native.preprocess_hospital(sig_np).astype(np.float32)
-        except Exception:
-            pass
-        return np.asarray(
-            preprocess.preprocess_hospital(jnp.asarray(sig_np)), np.float32
-        )
-
     def build(idx: np.ndarray) -> Arrays:
         # The zero-phase IIR filtering runs in float64 (scipy parity);
         # TPUs have no f64, so the offline materialisation pass is pinned
@@ -122,7 +126,7 @@ def materialize_trimodal(
         with jax.default_device(jax.devices("cpu")[0]):
             sig = np.asarray(ecg_scaler.transform(cohort.signals[idx]))
             if apply_signal_filter:
-                sig = _filter_signals(sig)
+                sig = filter_signals_host(sig)
             sig = np.asarray(sig, np.float32)
             clin = clin_scaler.transform(cohort.clinical[idx, :n_scaled])
             if cohort.clinical.shape[1] > n_scaled:

@@ -37,8 +37,8 @@ import numpy as np
 from ecgmm_tpu.config import ModelConfig
 from ecgmm_tpu.data import preprocess
 from ecgmm_tpu.serve import batching
-from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image, overlay_heatmap
-from ecgmm_tpu.explain.shap_fusion import gradient_shap, modality_contributions
+from ecgmm_tpu.explain.gradcam import overlay_heatmap
+from ecgmm_tpu.explain.shap_fusion import modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
 from ecgmm_tpu.serve import digitize as digitize_mod
 from ecgmm_tpu.serve.digitize import digitize_lead2
@@ -67,7 +67,13 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
     parts = body.split(b"--" + boundary)
     fields: Dict[str, bytes] = {}
     for part in parts:
-        part = part.strip(b"\r\n")
+        # exactly ONE delimiter CRLF on each side — bytes.strip(b"\r\n")
+        # would eat every trailing 0x0D/0x0A byte of the CONTENT too,
+        # corrupting binary fields that legitimately end in CR/LF
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         if b"\r\n\r\n" not in part:
@@ -446,8 +452,16 @@ class ServingPipeline:
             )
             variables = jax.tree_util.tree_map(lambda x: x, variables)
             variables["params"]["signal_encoder"] = merged_params
-        except Exception:
-            pass
+        except Exception as e:
+            # The demo still serves (random signal-encoder weights), but
+            # silently doing so is indistinguishable from the warm-started
+            # state — say it loudly.
+            import warnings
+
+            warnings.warn(
+                f"demo(): PTB-XL warm-start failed ({e!r}); serving "
+                "RANDOM signal-encoder weights"
+            )
         return cls(model, variables)
 
     @classmethod
@@ -565,6 +579,17 @@ class ServingPipeline:
         dummy = np.full(strip_hw + (3,), 255, np.uint8)
         dummy[strip_hw[0] // 2, :, :] = 0
         self.predict(dummy, {"age": 60, "weight": 70})
+        if self._batcher is not None and self._packed_fn is not None:
+            # with batching on, predict() routed through the batcher —
+            # execute the unbatched program too, so the BatcherClosed
+            # fallback (and any later close_batching()) doesn't pay the
+            # cold compile inside a live request
+            row = self._packed_fn(
+                jnp.zeros((1,) + self.img_hw + (3,), jnp.float32),
+                jnp.zeros((1, self.signal_len), jnp.float32),
+                jnp.zeros((1, self.n_clin), jnp.float32),
+            )
+            np.asarray(row)  # sync
         # the warmup request's cold-compile latency (minutes on remote
         # backends) must not pollute the /stats serving metrics
         with self._stats_lock:
@@ -583,14 +608,17 @@ class ServingPipeline:
         # 1. digitize the uploaded strip into a voltage series
         mv = digitize_lead2(image_u8, target_len=self.signal_len)
 
-        # 2. preprocess signal the training way
+        # 2. preprocess signal the training way — literally the same
+        # helper the offline materialisation uses (native C++ when
+        # available, JAX fallback), so serve-time inputs can't skew from
+        # train-time preprocessing
+        from ecgmm_tpu.data.pipeline import filter_signals_host
+
         sig = mv[None, :]
         if self.ecg_scaler is not None:
             sig = np.asarray(self.ecg_scaler.transform(sig))
         with jax.default_device(jax.devices("cpu")[0]):
-            sig = np.asarray(preprocess.preprocess_hospital(
-                jnp.asarray(sig, jnp.float32)
-            ))
+            sig = filter_signals_host(np.asarray(sig, np.float32))
 
         # 3. model-resolution image + clinical vector
         from PIL import Image
@@ -601,11 +629,37 @@ class ServingPipeline:
         img_u8 = np.asarray(img)[None]
         img_norm = img_u8.astype(np.float32) / 127.5 - 1.0
 
-        age = float(questionnaire.get("age", 60) or 60)
-        wt = float(questionnaire.get("weight", 70) or 70)
-        clin = np.asarray([[age, wt]], np.float32)
+        def qnum(key, default):
+            v = questionnaire.get(key, default)
+            if v is None or v == "":
+                return float(default)
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                # a malformed client field must be a 400, not a 500
+                raise BadRequest(
+                    f"questionnaire field {key!r} must be numeric, "
+                    f"got {v!r}"
+                )
+
+        age = qnum("age", 60)
+        wt = qnum("weight", 70)
+        # Clinical vector sized to the MODEL's feature width (the app
+        # only supplies age/weight; a modal-balance run has 24 features).
+        # Unknown features sit at the scaler's training mean, i.e. 0
+        # after standardisation — the neutral value.
+        raw = np.zeros((1, self.n_clin), np.float32)
+        if (self.clinical_scaler is not None
+                and np.size(self.clinical_scaler.mean) == self.n_clin):
+            raw[:] = np.asarray(self.clinical_scaler.mean, np.float32)
+        raw[0, 0] = age
+        if self.n_clin > 1:
+            raw[0, 1] = wt
+        clin = raw
         if self.clinical_scaler is not None:
-            clin = np.asarray(self.clinical_scaler.transform(clin))
+            clin = np.asarray(
+                self.clinical_scaler.transform(raw), np.float32
+            )
 
         # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
         # device dispatch (see _predict_all) and ONE device→host readback

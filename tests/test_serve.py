@@ -416,3 +416,33 @@ def test_r_peaks_survive_single_artifact_spike():
     sig[700] = 3.0  # smudge/pen-mark spike
     f = report.signal_features(sig, fs)
     assert abs(f["heart_rate"] - 60.0) < 6.0
+
+
+def test_questionnaire_non_numeric_is_400(server):
+    """A valid-JSON questionnaire with a non-numeric age must be a 400,
+    not a 500 from float('sixty') inside predict (round-3 review
+    finding)."""
+    from PIL import Image
+
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="JPEG")
+    body, ctype = _multipart({
+        "file": ("f.jpg", buf.getvalue()),
+        "questionnaire": (None, json.dumps({"age": "sixty"}).encode()),
+    })
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(server, body, ctype)
+    assert e.value.code == 400
+    assert "must be numeric" in json.loads(e.value.read())["error"]
+
+
+def test_parse_multipart_preserves_trailing_crlf_bytes():
+    """Binary field content legitimately ending in CR/LF must survive:
+    bytes.strip(b'\\r\\n') ate every trailing 0x0D/0x0A (round-3 review
+    finding)."""
+    from ecgmm_tpu.serve.api import encode_multipart, parse_multipart
+
+    payload = b"\x00\x01data\r\n\n\r"
+    body, ctype = encode_multipart({"file": ("f.bin", payload)})
+    assert parse_multipart(body, ctype)["file"] == payload
