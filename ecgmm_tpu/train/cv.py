@@ -303,6 +303,8 @@ def main(argv=None):
     p.add_argument("--preset", default="fusion")
     p.add_argument("--n-synth", type=int, default=128)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override the reference's fixed seed 42")
     p.add_argument("--cache-embeddings", action="store_true")
     p.add_argument("--k", type=int, default=10,
                    help="exhaustive mode: number of folds")
@@ -339,7 +341,7 @@ def main(argv=None):
 
     cfg = apply_train_overrides(
         get_preset(args.preset), epochs=args.epochs,
-        cache_embeddings=args.cache_embeddings,
+        cache_embeddings=args.cache_embeddings, seed=args.seed,
     )
     cohort = synthetic.make_cohort(
         n=args.n_synth,

@@ -408,7 +408,8 @@ def run(cfg: Config, data: pipeline.MaterializedData,
 
 
 def apply_train_overrides(cfg: Config, epochs=None, batch_size=None,
-                          lr=None, cache_embeddings=False) -> Config:
+                          lr=None, cache_embeddings=False,
+                          seed=None) -> Config:
     """The one place CLI TrainConfig overrides are applied (shared by
     workloads.run and train.cv so their flags cannot drift)."""
     overrides = {}
@@ -418,6 +419,10 @@ def apply_train_overrides(cfg: Config, epochs=None, batch_size=None,
         overrides["batch_size"] = batch_size
     if lr is not None:
         overrides["lr"] = lr
+    if seed is not None:
+        # the reference hardcodes 42 everywhere (config.py:8); an
+        # override enables seed-repeat studies without editing files
+        overrides["seed"] = seed
     if cache_embeddings:
         overrides["cache_embeddings"] = True
     if overrides:
@@ -439,6 +444,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override the reference's fixed seed 42 "
+                        "(drives splits, init and shuffling)")
     p.add_argument("--n-synth", type=int, default=128)
     p.add_argument("--cache-embeddings", action="store_true",
                    help="fusion presets: precompute frozen-encoder "
@@ -462,7 +470,7 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     cfg = apply_train_overrides(
         cfg, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-        cache_embeddings=args.cache_embeddings,
+        cache_embeddings=args.cache_embeddings, seed=args.seed,
     )
     if args.data_dir:
         # One flag, one meaning: wherever this preset's data lives. The
@@ -494,7 +502,7 @@ def main(argv=None):
         "source": args.data,
         "data_dir": args.data_dir or "",
         "n_synth": args.n_synth,
-        "seed": cfg.train.seed,
+        "seed": cfg.train.seed,  # reflects --seed via the override
         "variant": cfg.model.variant,
         "signal_len": cfg.data.signal_len,
         "img_hw": [cfg.data.img_height, cfg.data.img_width],

@@ -68,3 +68,16 @@ def test_12lead_shapes(tmp_path):
     cfg = _shrunk("signal_12lead", tmp_path)
     data = runner.load_data(cfg, "synthetic", n_synth=48)
     assert np.asarray(data.train.signals).shape[1] == 12
+
+
+def test_seed_cli_override(tmp_path):
+    """--seed overrides the reference's fixed 42 and flows into splits,
+    init and the split-cache fingerprint."""
+    import dataclasses as dc
+
+    from ecgmm_tpu.workloads.run import apply_train_overrides, get_preset
+
+    cfg = apply_train_overrides(get_preset("signal_only"), seed=7)
+    assert cfg.train.seed == 7
+    # default untouched
+    assert get_preset("signal_only").train.seed == 42
