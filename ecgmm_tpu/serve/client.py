@@ -50,9 +50,21 @@ f.addEventListener('submit', async (e) => {
   fd.append('questionnaire', JSON.stringify(
     Object.fromEntries(new FormData(f).entries())));
   document.getElementById('status').textContent = 'analyzing…';
-  const r = await fetch('/api/public/upload-ecgImage-lead2only',
-                        {method: 'POST', body: fd});
-  if (!r.ok) { document.getElementById('status').textContent = 'error'; return; }
+  let r;
+  try {
+    r = await fetch('/api/public/upload-ecgImage-lead2only',
+                    {method: 'POST', body: fd});
+  } catch (err) {  // network-level failure: don't hang on 'analyzing…'
+    document.getElementById('status').textContent =
+      'network error: ' + err.message;
+    return;
+  }
+  if (!r.ok) {
+    let msg = 'error ' + r.status;
+    try { msg += ': ' + (await r.json()).error; } catch (_) {}
+    document.getElementById('status').textContent = msg;
+    return;
+  }
   const d = await r.json();
   document.getElementById('status').textContent = '';
   document.getElementById('result').style.display = 'block';
@@ -82,10 +94,15 @@ f.addEventListener('submit', async (e) => {
       `<label>${k}: ${val.toFixed(1)}%</label>
        <div class="bar"><div style="width:${val}%;background:${colors[k]}"></div></div>`
     ).join('');
-  // report sections
-  document.getElementById('report').innerHTML =
-    Object.entries(d.gpt_result).map(([k,v]) =>
-      `<h4>${k}</h4><p>${v}</p>`).join('');
+  // report sections — textContent, never innerHTML: with the GPT
+  // backend the section bodies are model-generated text and must not be
+  // interpreted as markup
+  const rep = document.getElementById('report');
+  rep.replaceChildren(...Object.entries(d.gpt_result).flatMap(([k,v]) => {
+    const h = document.createElement('h4'); h.textContent = k;
+    const p = document.createElement('p'); p.textContent = v;
+    return [h, p];
+  }));
 });
 </script></body></html>
 """

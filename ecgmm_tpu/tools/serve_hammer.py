@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import math
 import threading
 import time
 import urllib.request
@@ -86,7 +87,12 @@ def hammer(url: str, clients: int, seconds: float,
     lat = sorted(latencies)
 
     def pct(p):
-        return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+        # nearest-rank: ceil(p*n)-1 — int(p*n) is one rank high whenever
+        # p*n is integral (pct(0.9) of 10 samples returned the MAX)
+        if not lat:
+            return 0.0
+        return lat[min(len(lat) - 1,
+                       max(0, math.ceil(p * len(lat)) - 1))]
 
     return {
         "clients": clients,

@@ -107,6 +107,7 @@ def train_torch_reference(data, epochs: int, batch_size: int = 8,
     train_loader = DataLoader(
         to_ds(data.train), batch_size=batch_size, shuffle=True
     )
+    val_loader = DataLoader(to_ds(data.val), batch_size=batch_size)
     model = _build_torch_model()
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.OneCycleLR(
@@ -118,7 +119,13 @@ def train_torch_reference(data, epochs: int, batch_size: int = 8,
         pt = torch.exp(-ce)
         return (alpha * (1 - pt) ** gamma * ce).mean()
 
+    # Per-epoch val pass INSIDE the timed region + best-val-loss
+    # checkpointing: the reference trainer validates every epoch and
+    # restores best.pth before test (train_signal_only.py:270-308), and
+    # the jax arm's Time/Epoch includes its val eval — both sides must
+    # measure the same protocol.
     epoch_times = []
+    best_val, best_sd = float("inf"), None
     for _ in range(epochs):
         t0 = time.perf_counter()
         model.train()
@@ -128,8 +135,20 @@ def train_torch_reference(data, epochs: int, batch_size: int = 8,
             loss.backward()
             opt.step()
             sched.step()
+        model.eval()
+        vloss, nb = 0.0, 0
+        with torch.no_grad():
+            for xb, yb in val_loader:
+                vloss += float(focal(model(xb), yb))
+                nb += 1
         epoch_times.append(time.perf_counter() - t0)
+        vloss = vloss / max(nb, 1)
+        if vloss < best_val:
+            best_val = vloss
+            best_sd = {k: v.clone() for k, v in model.state_dict().items()}
 
+    if best_sd is not None:
+        model.load_state_dict(best_sd)
     model.eval()
     with torch.no_grad():
         x = torch.from_numpy(np.asarray(data.test.signals, np.float32))
@@ -171,14 +190,19 @@ def train_jax(data, epochs: int, cfg=None) -> Dict:
     task = make_signal_task(model, t)
     mesh = make_mesh()
     result = engine.fit(
-        task, state, tx, data.train, data.val, t, mesh=mesh, verbose=False
+        task, state, tx, data.train, data.val, t, mesh=mesh,
+        verbose=False, keep_best=True,
     )
     # first epoch includes compile; report steady-state epochs
     times = [h["Time/Epoch"] for h in result.history[1:]] or [
         result.history[0]["Time/Epoch"]
     ]
+    # test the best-val state, like the reference protocol (and the
+    # torch arm above)
+    best = result.best_state if result.best_state is not None \
+        else result.state
     ev = engine.evaluate(
-        engine.make_eval_step(task), result.state, data.test, t.eval_bs,
+        engine.make_eval_step(task), best, data.test, t.eval_bs,
         mesh,
     )
     probs = np.asarray(jax.nn.softmax(jnp.asarray(ev.logits))[:, 1])

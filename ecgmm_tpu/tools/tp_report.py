@@ -26,7 +26,10 @@ _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
     "s64": 8, "u64": 8, "s32": 4, "u32": 4,
     "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+    "c64": 8, "c128": 16,
+    "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3b11fnuz": 1,
 }
+_warned_dtypes: set = set()
 
 _COLLECTIVES = (
     "all-gather", "all-reduce", "reduce-scatter", "collective-permute",
@@ -47,6 +50,11 @@ def _shape_bytes(dtype: str, dims: str) -> int:
     for d in dims.split(","):
         if d:
             n *= int(d)
+    if dtype not in _DTYPE_BYTES and dtype not in _warned_dtypes:
+        _warned_dtypes.add(dtype)
+        import warnings
+
+        warnings.warn(f"unknown HLO dtype {dtype!r}; assuming 4 B/elem")
     return n * _DTYPE_BYTES.get(dtype, 4)
 
 
@@ -123,7 +131,10 @@ def build_and_compile(n_data: int, n_model: int, hw: int = 64,
             jnp.asarray(rng.normal(size=(b, t)), jnp.float32), sh
         ),
         clinical=jax.device_put(
-            jnp.asarray(rng.normal(size=(b, 2)), jnp.float32), sh
+            jnp.asarray(
+                rng.normal(size=(b, mcfg.clinical_in_features)),
+                jnp.float32,
+            ), sh
         ),
         labels=jax.device_put(
             jnp.asarray(rng.integers(0, 2, (b,)), jnp.int32), sh

@@ -47,7 +47,11 @@ def load_device_events(trace_dir: str) -> List[dict]:
     return [e for e in evs if e.get("ph") == "X" and e.get("pid") in dev_pids]
 
 
-_MODULE_RE = re.compile(r"^(jit_\w+\(\d+\)|\d+)$")  # module + step rows
+# module + step rows: XLA module events look like 'jit_<anything>(N)'
+# (lambdas/deduped modules contain <, >, . — a \w+ name class would leak
+# them into the op rows and double-count their whole duration), step
+# rows are bare integers
+_MODULE_RE = re.compile(r"^(jit_.*\(\d+\)|\d+)$")
 
 
 def op_rows(events: List[dict]) -> List[dict]:

@@ -95,9 +95,18 @@ def disable_compilation_cache() -> None:
 
 
 def purge_compilation_cache() -> None:
-    """Delete every entry in the active persistent cache directory."""
+    """Retire the active persistent cache directory — moved aside (one
+    .stale backup kept), not deleted: every cached program is worth
+    30–250 s of remote compile, and the stale-executable heuristic that
+    triggers this is a string match that can fire on unrelated
+    FAILED_PRECONDITION faults."""
     if _active_cache_dir and os.path.isdir(_active_cache_dir):
-        shutil.rmtree(_active_cache_dir, ignore_errors=True)
+        bak = _active_cache_dir + ".stale"
+        shutil.rmtree(bak, ignore_errors=True)
+        try:
+            os.replace(_active_cache_dir, bak)
+        except OSError:
+            shutil.rmtree(_active_cache_dir, ignore_errors=True)
         os.makedirs(_active_cache_dir, exist_ok=True)
 
 
