@@ -61,7 +61,18 @@ export async function analyzeEcg(
     body: form,
   })
   if (!res.ok) {
-    throw new Error(`server returned ${res.status}`)
+    // the server sends {error: "..."} for 4xx/5xx — surface it so the
+    // user sees WHY (bad photo, non-numeric field) instead of a bare
+    // status code
+    let detail = ''
+    try {
+      detail = ((await res.json()) as { error?: string }).error ?? ''
+    } catch {
+      /* non-JSON error body */
+    }
+    throw new Error(
+      `server returned ${res.status}${detail ? `: ${detail}` : ''}`,
+    )
   }
   return (await res.json()) as AnalysisResult
 }
