@@ -11,10 +11,19 @@ anywhere in the reference (SURVEY.md §0); this implements it for the known
     "ink" only if it is dark in every channel. Light-red gridlines keep a
     bright red channel and vanish from the darkness map, no matter how
     dense the grid;
-  * illumination normalization — per-column paper brightness is estimated
-    as a high quantile and darkness is measured *relative* to it, so
-    shadows / lighting gradients across the photo do not shift the ink
-    threshold;
+  * illumination normalization — local paper brightness is estimated by a
+    grayscale morphological closing (block max, then block min over a
+    wider window) and darkness is measured *relative* to it. The max pass
+    makes shadows / lighting gradients / vignetting irrelevant; the min
+    pass keeps regions BRIGHTER than the paper (white photo margins,
+    a bright table behind the strip, rotation borders) from bleeding
+    into the paper estimate and turning nearby paper into phantom ink;
+  * contrast-adaptive ink segmentation — a pixel is ink when it is nearly
+    as dark as the darkest pixel of its own column (the trace is the
+    darkest thing in every column it crosses), with an absolute floor so
+    noise on trace-free columns never qualifies. Motion blur or a
+    low-resolution photo can halve the trace's contrast without moving
+    this per-column relative threshold;
   * deskew — camera tilt shows up as a linear trend in the per-column
     trace centroid; a Theil–Sen (median-of-pairwise-slopes) robust fit
     removes it without disturbing QRS spikes or baseline wander;
@@ -36,17 +45,40 @@ class NoTraceError(ValueError):
     fault; the HTTP layer maps it to a 400."""
 
 
-def _local_max(brightness: np.ndarray, w: int) -> np.ndarray:
-    """Per-pixel maximum over the pixel's w×w tile (block max, upsampled
-    back). Pure vectorized numpy — ~10× cheaper than a true sliding
-    maximum filter at these strip sizes, and the paper background only
-    needs to be a local upper envelope, not exact: any w×w tile of a
-    strip photo contains paper because the trace is only ~3 px thick."""
+def _block_max(brightness: np.ndarray, w: int) -> np.ndarray:
+    """Per-tile maxima over w×w tiles (the block grid, NOT upsampled).
+    Pure vectorized numpy — ~10× cheaper than a true sliding maximum
+    filter at these strip sizes, and the paper background only needs to
+    be a local upper envelope, not exact: any w×w tile of a strip photo
+    contains paper because the trace is only ~3 px thick."""
     h, wid = brightness.shape
     ph, pw = (-h) % w, (-wid) % w
     padded = np.pad(brightness, ((0, ph), (0, pw)), mode="edge")
     hb, wb = padded.shape[0] // w, padded.shape[1] // w
-    blocks = padded.reshape(hb, w, wb, w).max(axis=(1, 3))
+    return padded.reshape(hb, w, wb, w).max(axis=(1, 3))
+
+
+def _closing(brightness: np.ndarray, w: int) -> np.ndarray:
+    """Grayscale closing on the block grid: w×w block max, then a min
+    over non-overlapping 2×2 groups of blocks (a 2w×2w erosion),
+    upsampled back to pixel resolution. All reductions run on the tiny
+    hb×wb grid, so the cost over the plain block max is negligible."""
+    h, wid = brightness.shape
+    blocks = _block_max(brightness, w)
+    hb, wb = blocks.shape
+    bp = np.pad(blocks, ((0, hb % 2), (0, wb % 2)), mode="edge")
+    closed = bp.reshape(bp.shape[0] // 2, 2, bp.shape[1] // 2, 2).min(
+        axis=(1, 3)
+    )
+    up = np.repeat(np.repeat(closed, 2 * w, 0), 2 * w, 1)
+    return up[:h, :wid]
+
+
+def _local_max(brightness: np.ndarray, w: int) -> np.ndarray:
+    """Per-pixel maximum over the pixel's w×w tile (block max, upsampled
+    back)."""
+    h, wid = brightness.shape
+    blocks = _block_max(brightness, w)
     up = np.repeat(np.repeat(blocks, w, 0), w, 1)
     return up[:h, :wid]
 
@@ -57,11 +89,15 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     brightness = max over channels: paper is bright in all channels, the
     light-red grid stays bright in R, the trace is dark in all — so the
     grid is suppressed without any explicit color segmentation. Darkness
-    is then measured relative to the *local* paper brightness (a
-    block-max upper envelope over `bg_window` px tiles; the trace is
-    only ~3 px thick, so every tile sees paper) — which keeps shadows,
-    lighting gradients and bright photo margins from shifting the ink
-    threshold anywhere in the frame. The channel max runs on uint8 via
+    is then measured relative to the *local paper brightness*, estimated
+    by a grayscale closing: a block-max upper envelope over `bg_window`
+    px tiles (the trace is only ~3 px thick, so every tile sees paper)
+    followed by a block-min over 2×`bg_window` tiles. The max pass makes
+    shadows / lighting gradients irrelevant; the min pass stops anything
+    brighter than the paper itself (white margins, rotation borders, a
+    bright table behind a tilted strip) from inflating the envelope over
+    nearby paper — without it, shadowed paper within `bg_window` px of a
+    bright border reads as ink. The channel max runs on uint8 via
     pairwise np.maximum (a float conversion or an axis-reduce over the
     interleaved RGB layout each cost more than everything else in the
     digitizer combined)."""
@@ -73,7 +109,7 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
             np.maximum(raw[..., 0], raw[..., 1]), raw[..., 2]
         )
     paper = np.maximum(
-        _local_max(bright_u8, bg_window).astype(np.float32), 1.0
+        _closing(bright_u8, bg_window).astype(np.float32), 1.0
     )
     rel = (paper - bright_u8.astype(np.float32)) / paper
     return np.clip(rel, 0.0, 1.0)
@@ -81,17 +117,30 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
 
 def extract_trace(
     image: np.ndarray,
-    ink_threshold: float = 0.35,
+    col_frac: float = 0.6,
+    abs_floor: float = 0.12,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-column trace row (float) + validity mask from an RGB uint8
-    strip photo. A column is valid when it contains clearly-ink pixels
-    (relative darkness above `ink_threshold`)."""
+    strip photo.
+
+    Ink segmentation is contrast-adaptive per column: the trace is the
+    darkest thing in every column it crosses, so a pixel counts as ink
+    when its relative darkness is ≥ `col_frac` × that column's maximum
+    darkness. A fixed absolute threshold fails in both directions on
+    real photos — motion blur / low resolution can smear the trace to
+    half its nominal contrast (ink missed), while a slanted bright
+    border next to shadowed paper produces broad mid-darkness bands
+    (phantom ink admitted). The per-column rule tracks the former and
+    rejects the latter. `abs_floor` is the absolute minimum darkness
+    for a column to be considered to contain trace at all, so sensor
+    noise on trace-free columns (or a blank photo) never qualifies."""
     rel = darkness_map(image)
     h, w = rel.shape
-    ink = rel >= ink_threshold
-    weights = np.where(ink, rel, 0.0)
+    col_max = rel.max(axis=0)
+    threshold = np.maximum(abs_floor, col_frac * col_max)[None, :]
+    weights = np.where(rel >= threshold, rel, 0.0)
     colsum = weights.sum(axis=0)
-    valid = colsum > 0
+    valid = (col_max >= abs_floor) & (colsum > 0)
     rows = np.arange(h, dtype=np.float32)
     centroid = np.where(
         valid,

@@ -132,6 +132,140 @@ def test_combined_photo_artifacts():
     assert corr > 0.85, corr
 
 
+def _jpeg(img, quality=25):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return np.asarray(Image.open(io.BytesIO(buf.getvalue())))
+
+
+def _motion_blur(img, k=9):
+    from scipy import ndimage
+
+    kern = np.full((1, k), 1.0 / k)
+    out = np.stack(
+        [
+            ndimage.convolve(img[..., c].astype(np.float32), kern,
+                             mode="nearest")
+            for c in range(3)
+        ],
+        -1,
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _vignette(img, strength=0.45):
+    h, w = img.shape[:2]
+    y = np.linspace(-1, 1, h)[:, None]
+    x = np.linspace(-1, 1, w)[None, :]
+    factor = 1.0 - strength * (x**2 + y**2) / 2
+    return np.clip(
+        img.astype(np.float32) * factor[..., None], 0, 255
+    ).astype(np.uint8)
+
+
+def _perspective(img, shear=0.15):
+    """Vertical scale varying across the width — the first-order effect
+    of photographing the strip at an angle."""
+    from scipy import ndimage
+
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    scale = 1.0 + shear * (xx / w - 0.5) * 2
+    src_y = (yy - h / 2) / scale + h / 2
+    out = np.stack(
+        [
+            ndimage.map_coordinates(
+                img[..., c].astype(np.float32), [src_y, xx], order=1,
+                mode="constant", cval=255.0,
+            )
+            for c in range(3)
+        ],
+        -1,
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _downscale(img, factor=4):
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    return np.asarray(
+        Image.fromarray(img).resize((w // factor, h // factor))
+    )
+
+
+def test_jpeg_compression():
+    """Aggressive JPEG (quality 25) — block artifacts and chroma smear
+    must not disturb the darkness map."""
+    sig, _ = _signal(seed=11)
+    img = _jpeg(_render(sig, grid_step=10), quality=25)
+    corr, rmse = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.25, rmse
+
+
+def test_motion_blur():
+    """9-px horizontal motion blur halves the trace's contrast; the
+    per-column adaptive ink threshold must follow it down."""
+    sig, _ = _signal(seed=11)
+    img = _motion_blur(_render(sig, grid_step=10), k=9)
+    corr, rmse = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.3, rmse
+
+
+def test_vignette():
+    sig, _ = _signal(seed=11)
+    img = _vignette(_render(sig, grid_step=10), strength=0.45)
+    corr, rmse = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.25, rmse
+
+
+def test_perspective_shear():
+    """Off-axis camera: vertical scale varies 15% across the width. The
+    Theil–Sen detrend absorbs the first-order trend."""
+    sig, _ = _signal(seed=11)
+    img = _perspective(_render(sig, grid_step=10), shear=0.15)
+    corr, rmse = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.25, rmse
+
+
+def test_low_resolution_photo():
+    """4× downscale (625×62 strip): the trace is subpixel-thin and
+    anti-aliased to low contrast."""
+    sig, _ = _signal(seed=11)
+    img = _downscale(_render(sig, grid_step=10), factor=4)
+    corr, rmse = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.3, rmse
+
+
+def test_kitchen_sink_phone_photo():
+    """Everything at once: shadow + sensor noise + tilt + vignette +
+    motion blur + JPEG — the worst realistic phone capture. The
+    closing-based paper envelope is what keeps the tilt border from
+    turning shadowed paper into phantom ink here."""
+    sig, _ = _signal(seed=11)
+    img = _jpeg(
+        _motion_blur(
+            _vignette(
+                _tilt(_noise(_shadow(_render(sig, grid_step=10)), 8), 1.5),
+                0.3,
+            ),
+            3,
+        ),
+        45,
+    )
+    corr, _ = _score(digitize.digitize_lead2(img), sig)
+    assert corr > 0.8, corr
+
+
 def test_millivolt_scale_accuracy():
     """With the render's known px/mV geometry supplied, absolute mV RMSE
     must stay within 0.1 mV-equivalent units on a clean strip."""
