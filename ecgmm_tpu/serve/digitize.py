@@ -27,9 +27,24 @@ anywhere in the reference (SURVEY.md §0); this implements it for the known
   * deskew — camera tilt shows up as a linear trend in the per-column
     trace centroid; a Theil–Sen (median-of-pairwise-slopes) robust fit
     removes it without disturbing QRS spikes or baseline wander;
+  * strip auto-location — a phone photo usually contains more than the
+    strip (table, margins, fingers). The paper is found by its defining
+    feature, the red grid: row/column profiles of "gridness" (R minus
+    max(G,B)) bound the largest contiguous grid-bearing region; when no
+    grid is detectable the large bright (paper) region is used instead;
+  * grid-pitch mV auto-calibration — standard ECG paper is 1 mm small
+    squares at 10 mm/mV, so the vertical pixel pitch of the horizontal
+    gridlines fixes the absolute voltage scale (px/mV = 10 × pitch)
+    regardless of photo resolution or crop. The pitch is estimated from
+    per-column-band gridness autocorrelations summed across bands —
+    autocorrelation is phase-invariant, so camera tilt (which shifts the
+    grid phase across the width) does not smear the peak. Falls back to
+    the reference strips' fixed geometry when no grid is found;
   * per-column darkness-weighted centroid → gap interpolation →
-    row-to-millivolt scaling from standard ECG paper geometry →
-    resampling to the model's 2476 @ 250 Hz input grid.
+    row-to-millivolt scaling → resampling to the model's 2476 @ 250 Hz
+    input grid. (The time axis is NOT grid-calibrated: the reference's
+    2500×250 strips map to 2476 samples ≈ 9.9 s, which is not standard
+    25 mm/s paper — the model contract is a fixed-length resample.)
 """
 
 from __future__ import annotations
@@ -113,6 +128,337 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     )
     rel = (paper - bright_u8.astype(np.float32)) / paper
     return np.clip(rel, 0.0, 1.0)
+
+
+def _block_min(values: np.ndarray, w: int) -> np.ndarray:
+    """Per-tile minima over w×w tiles (mirror of `_block_max`)."""
+    h, wid = values.shape
+    ph, pw = (-h) % w, (-wid) % w
+    padded = np.pad(values, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = padded.shape[0] // w, padded.shape[1] // w
+    return padded.reshape(hb, w, wb, w).min(axis=(1, 3))
+
+
+def gridness_map(
+    image: np.ndarray, bg_window: int = 32
+) -> Optional[np.ndarray]:
+    """Per-pixel grid-line strength: local CONTRAST of R − max(G, B).
+
+    ECG paper gridlines are light red — bright in R, dimmer in G/B — so
+    raw redness (R − max(G, B)) scores them high while white paper
+    (R≈G≈B) and the dark trace (R≈G≈B) score ~0. Raw redness alone also
+    scores any warm surface (a wooden table, warm white balance), so the
+    local background redness — a `bg_window`-tile block minimum, which
+    lands on the paper between lines since lines are only a few px wide
+    — is subtracted: only *line-like* local redness survives. Returns
+    None for grayscale images (no color → no grid signal)."""
+    raw = np.asarray(image)
+    if raw.ndim != 3 or raw.shape[-1] < 3:
+        return None
+    r = raw[..., 0]
+    gb = np.maximum(raw[..., 1], raw[..., 2])
+    return _gridness_core(
+        np.subtract(r, gb, dtype=np.int16), np.maximum(r, gb), bg_window
+    )
+
+
+def _gridness_core(
+    redness: np.ndarray, bright: np.ndarray, bg_window: int
+) -> np.ndarray:
+    """Gridness from a precomputed redness difference (R − max(G,B),
+    int16) and brightness (max channel, uint8) pair — see
+    `gridness_map` for the semantics."""
+    g = np.maximum(redness, 0).astype(np.float32)
+    h, wid = g.shape
+    base = np.repeat(
+        np.repeat(_block_min(g, bg_window), bg_window, 0), bg_window, 1
+    )[:h, :wid]
+    contrast = np.maximum(g - base, 0.0)
+    # illumination-normalize: grid contrast scales with local lighting
+    # (a shadowed half would otherwise fall below any fixed threshold),
+    # so express it relative to the local paper brightness envelope
+    paper = np.maximum(
+        _closing(bright, bg_window).astype(np.float32), 1.0
+    )
+    return 255.0 * contrast / paper
+
+
+def _profile_period(
+    profiles: np.ndarray, min_lag: int = 4, max_lag: Optional[int] = None,
+    min_peak: float = 0.25,
+) -> Optional[float]:
+    """Dominant period (px) shared by a stack of 1-D profiles, from the
+    SUM of their individual autocorrelations. Summing autocorrelations
+    instead of profiles keeps a common period detectable when the phase
+    drifts across bands (camera tilt). Sub-pixel refined by parabolic
+    interpolation around the peak; None when no lag in
+    [min_lag, max_lag) correlates above `min_peak` of zero-lag."""
+    profiles = np.atleast_2d(np.asarray(profiles, np.float32))
+    n = profiles.shape[1]
+    if max_lag is None:
+        max_lag = n // 4
+    if max_lag <= min_lag + 1 or n < 2 * min_lag:
+        return None
+    p = profiles - profiles.mean(axis=1, keepdims=True)
+    f = np.fft.rfft(p, 2 * n, axis=1)
+    ac = np.fft.irfft(f * np.conj(f), 2 * n, axis=1)[:, :n].sum(axis=0)
+    if ac[0] <= 1e-9:
+        return None
+    ac = ac / ac[0]
+    seg = ac[min_lag:max_lag]
+    # first local maximum above threshold = the fundamental pitch (a
+    # global argmax could land on a harmonic, e.g. the 5 mm bold lines)
+    above = np.flatnonzero(
+        (seg >= min_peak)
+        & (seg >= np.roll(seg, 1))
+        & (seg >= np.roll(seg, -1))
+    )
+    above = above[(above > 0) & (above < len(seg) - 1)]
+    if len(above) == 0:
+        return None
+    k = int(above[0]) + min_lag
+    # parabolic sub-pixel refinement
+    y0, y1, y2 = ac[k - 1], ac[k], ac[k + 1]
+    denom = y0 - 2 * y1 + y2
+    delta = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+    return float(k + np.clip(delta, -0.5, 0.5))
+
+
+def _pitch_from_bands(
+    g: np.ndarray, band_px: int
+) -> Optional[float]:
+    """Pitch of the horizontal gridlines from a gridness map: column
+    bands `band_px` wide, per-band row profiles, summed per-band
+    autocorrelation (see `estimate_grid_pitch_px`)."""
+    h, w = g.shape
+    if h < 16 or w < 16:
+        return None
+    n_bands = max(1, w // band_px)
+    bands = [
+        g[:, i * band_px: (i + 1) * band_px].mean(axis=1)
+        for i in range(n_bands)
+    ]
+    return _profile_period(np.stack(bands), min_lag=4, max_lag=h // 3)
+
+
+def _pool2_max(a: np.ndarray) -> np.ndarray:
+    """2×2 max pool of a 2-D score map. Max pooling a REDNESS map keeps
+    the thin (1–3 px) gridlines that a strided subsample or mean pool
+    would thin out or erase; pooling the RGB image itself would NOT
+    work (paper is brighter than the grid in every channel, so a
+    channel-wise max erases the lines)."""
+    h, w = a.shape[:2]
+    a = a[: h - h % 2, : w - w % 2]
+    return np.maximum(
+        np.maximum(a[0::2, 0::2], a[0::2, 1::2]),
+        np.maximum(a[1::2, 0::2], a[1::2, 1::2]),
+    )
+
+
+def _grid_analysis(raw: np.ndarray, band_px: int = 128):
+    """Shared grid analysis at pooled resolution: returns
+    (gridness-or-None, pooled brightness, scale, pitch in FULL-res px
+    or None). Images ≥128 px on both sides have their redness and
+    brightness maps max-pooled 2×2 first (quarter cost); sub-pixel
+    autocorrelation refinement at pooled resolution keeps full-res
+    pitch accuracy well under ±0.5 px."""
+    pool = min(raw.shape[:2]) >= 128
+    if raw.ndim != 3 or raw.shape[-1] < 3:
+        bright = raw if raw.ndim == 2 else raw[..., 0]
+        if pool:
+            return None, _pool2_max(bright), 2, None
+        return None, bright, 1, None
+    r = raw[..., 0]
+    gb = np.maximum(raw[..., 1], raw[..., 2])
+    redness = np.subtract(r, gb, dtype=np.int16)
+    bright = np.maximum(r, gb)
+    scale = 1
+    if pool:
+        redness, bright, scale = (
+            _pool2_max(redness), _pool2_max(bright), 2
+        )
+    g = _gridness_core(redness, bright, max(8, 32 // scale))
+    pitch_s = _pitch_from_bands(g, max(16, band_px // scale))
+    pitch = pitch_s * scale if pitch_s is not None else None
+    return g, bright, scale, pitch
+
+
+def estimate_grid_pitch_px(
+    image: np.ndarray, band_px: int = 128,
+) -> Optional[float]:
+    """Vertical pixel pitch of the horizontal gridlines (px per 1 mm of
+    paper), or None when the photo shows no usable grid.
+
+    The gridness map is split into column bands `band_px` wide; each
+    band's per-row mean is one profile. Tilt shifts the gridline phase
+    between bands (3° over 2500 px ≈ 130 px — enough to erase a plain
+    whole-image profile) but only ~band·tan(3°) ≈ 7 px within a band,
+    so the summed per-band autocorrelation keeps the pitch peak."""
+    return _grid_analysis(np.asarray(image), band_px)[3]
+
+
+def _largest_run(mask: np.ndarray) -> Tuple[int, int]:
+    """[start, stop) of the longest True run (stop = 0 when none)."""
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return 0, 0
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks, [len(idx) - 1]])
+    lengths = idx[stops] - idx[starts]
+    k = int(np.argmax(lengths))
+    return int(idx[starts[k]]), int(idx[stops[k]]) + 1
+
+
+def _smooth(profile: np.ndarray, w: int) -> np.ndarray:
+    w = max(3, int(w) | 1)
+    return np.convolve(profile, np.full(w, 1.0 / w), mode="same")
+
+
+def _brightness(raw: np.ndarray) -> np.ndarray:
+    if raw.ndim == 3:
+        return np.maximum(
+            np.maximum(raw[..., 0], raw[..., 1]), raw[..., 2]
+        ).astype(np.float32)
+    return raw.astype(np.float32)
+
+
+def _trim_dark_borders(
+    raw: np.ndarray, box: Tuple[int, int, int, int]
+) -> Tuple[int, int, int, int]:
+    """Shrink the box until no DARK background rows/columns remain at
+    its borders. A few leaked rows of dark table are catastrophic
+    downstream — every column's ink threshold and centroid would lock
+    onto the uniformly dark border instead of the trace — while leaked
+    BRIGHT background is harmless (the closing-based paper envelope
+    already neutralizes brighter-than-paper regions). Paper level is
+    the median brightness of the box's central half; a border row/col
+    is trimmed while its median brightness is < 60% of that."""
+    y0, y1, x0, x1 = box
+    bright = _brightness(raw[y0:y1, x0:x1])
+    bh, bw = bright.shape
+    center = bright[bh // 4: bh - bh // 4 or None,
+                    bw // 4: bw - bw // 4 or None]
+    # medians over a 4×-subsampled axis: same robustness, quarter cost
+    paper = float(np.median(center[::4, ::4])) or 1.0
+    row_med = np.median(bright[:, ::4], axis=1)
+    col_med = np.median(bright[::4, :], axis=0)
+    lim = 0.6 * paper
+    a, b = 0, bh
+    while a < b - 16 and row_med[a] < lim:
+        a += 1
+    while b > a + 16 and row_med[b - 1] < lim:
+        b -= 1
+    c, d = 0, bw
+    while c < d - 16 and col_med[c] < lim:
+        c += 1
+    while d > c + 16 and col_med[d - 1] < lim:
+        d -= 1
+    return y0 + a, y0 + b, x0 + c, x0 + d
+
+
+def locate_strip(
+    image: np.ndarray,
+    _analysis=None,
+) -> Optional[Tuple[int, int, int, int]]:
+    """(y0, y1, x0, x1) bounding box of the ECG paper within a larger
+    photo, or None when the whole frame should be used.
+
+    Primary cue: the red grid — per-row / per-column mean gridness
+    (local-contrast form, so warm backgrounds score 0), smoothed and
+    thresholded relative to its own robust maximum, largest contiguous
+    run. Fallback (no grid detected, e.g. a grayscale print): the large
+    bright region, since paper is the brightest extended surface in a
+    usable strip photo. Dark background is then trimmed off the borders
+    (see `_trim_dark_borders`); a box spanning ≳95% of the frame
+    returns None (use the full frame).
+
+    Candidate-box profiling runs on the 2×2-pooled image (cheap); the
+    safety passes (ink veto, dark-border trim) run at full resolution.
+    `_analysis` shares a precomputed `_grid_analysis` result
+    (internal — used by `digitize_lead2`)."""
+    raw = np.asarray(image)
+    h, w = raw.shape[:2]
+    g, bright_small, scale, pitch = (
+        _grid_analysis(raw) if _analysis is None else _analysis
+    )
+
+    def _box_from(score: np.ndarray, frac: float, win: int):
+        # thresholds are anchored at the profile's own background level
+        # (p10) rather than a pure peak fraction: a shadow/vignette dims
+        # one side of the strip proportionally, and the dimmed side must
+        # still clear a threshold set between background and peak
+        rows = _smooth(score.mean(axis=1), win)
+        cols = _smooth(score.mean(axis=0), win)
+        r_lo, r_hi = np.percentile(rows, [10, 90])
+        c_lo, c_hi = np.percentile(cols, [10, 90])
+        if r_hi <= 1e-6 or c_hi <= 1e-6:
+            return None
+        # background ≥ half the peak ⇒ the strip fills this axis (a
+        # near-uniform profile would otherwise fragment into noise runs)
+        if r_lo >= 0.5 * r_hi:
+            y0, y1 = 0, score.shape[0]
+        else:
+            y0, y1 = _largest_run(rows >= r_lo + frac * (r_hi - r_lo))
+        if c_lo >= 0.5 * c_hi:
+            x0, x1 = 0, score.shape[1]
+        else:
+            x0, x1 = _largest_run(cols >= c_lo + frac * (c_hi - c_lo))
+        if y1 - y0 < 16 or x1 - x0 < 16:
+            return None
+        return y0, y1, x0, x1
+
+    box = None
+    # the grid path is gated on detected PERIODICITY, not raw redness —
+    # a noisy warm background can clear any redness percentile, but only
+    # a real grid autocorrelates
+    if pitch is not None and float(np.percentile(g, 99)) >= 8.0:
+        # the gridness profile is periodic (peaks at lines, ~0 between)
+        # — the smoothing window must span ≥1 pitch or the largest
+        # above-threshold run is a single gridline, not the paper
+        box = _box_from(g, 0.25, int(round(2 * pitch / scale)))
+    if box is None:
+        paper = (
+            bright_small
+            >= 0.85 * np.percentile(bright_small, 95)
+        ).astype(np.float32)
+        box = _box_from(paper, 0.55, max(bright_small.shape[:2]) // 64)
+    if box is None:
+        return None
+    # scale the pooled-coordinate candidate box back to full resolution
+    y0, y1, x0, x1 = (
+        box[0] * scale, min(h, box[1] * scale),
+        box[2] * scale, min(w, box[3] * scale),
+    )
+    # a run spanning ≳80% of an axis means the strip fills that axis:
+    # don't let weak tilt corners or a shadowed edge shave trace off.
+    # The trim below re-removes any DARK background this re-admits;
+    # re-admitted bright background is harmless (the closing-based
+    # paper envelope neutralizes brighter-than-paper regions)
+    if (y1 - y0) >= 0.80 * h:
+        y0, y1 = 0, h
+    if (x1 - x0) >= 0.80 * w:
+        x0, x1 = 0, w
+    # ink veto: never crop away a region that contains trace-strength
+    # ink — a hard shadow + JPEG can erase the GRID's chroma on one
+    # side while the dark trace survives, and cutting live trace is
+    # strictly worse than keeping some background
+    if x0 > 0 or x1 < w or y0 > 0 or y1 < h:
+        rel = darkness_map(raw)
+        if x0 > 0 or x1 < w:
+            ink_cols = rel.max(axis=0) >= 0.3
+            outside = np.concatenate([ink_cols[:x0], ink_cols[x1:]])
+            if outside.size and outside.mean() > 0.3:
+                x0, x1 = 0, w
+        if y0 > 0 or y1 < h:
+            ink_rows = rel.max(axis=1) >= 0.3
+            outside = np.concatenate([ink_rows[:y0], ink_rows[y1:]])
+            if outside.size and outside.mean() > 0.3:
+                y0, y1 = 0, h
+    y0, y1, x0, x1 = _trim_dark_borders(raw, (y0, y1, x0, x1))
+    if (y1 - y0) >= 0.95 * h and (x1 - x0) >= 0.95 * w:
+        return None
+    return y0, y1, x0, x1
 
 
 def extract_trace(
@@ -201,15 +547,35 @@ def digitize_lead2(
     image: np.ndarray, target_len: int = 2476,
     px_per_mv: Optional[float] = None,
     deskew: bool = True,
+    auto_locate: bool = True,
 ) -> np.ndarray:
     """Full pipeline: RGB strip photo (H, W, 3) uint8 → (target_len,)
     float32 voltage series in mV.
+
+    `auto_locate` crops to the paper region first (no-op for full-frame
+    strips). When `px_per_mv` is not given, the grid pitch calibrates
+    the voltage scale (10 mm/mV paper ⇒ px/mV = 10 × pitch); gridless
+    photos fall back to the reference strips' fixed geometry
+    (height × 0.4 ⇒ ~100 px/mV at 250 px tall).
 
     Raises NoTraceError when too few columns contain ink (blank,
     overexposed or non-ECG photo): digitizing that to an all-zero
     'signal' would hand the model a flat line and return a confident
     diagnosis of nothing."""
-    trace, valid = extract_trace(image)
+    raw = np.asarray(image)
+    if auto_locate or px_per_mv is None:
+        # one pooled grid analysis serves location, the grid gate AND
+        # voltage calibration (cropping never changes the pixel pitch)
+        analysis = _grid_analysis(raw)
+        pitch = analysis[3]
+        if auto_locate:
+            box = locate_strip(raw, _analysis=analysis)
+            if box is not None:
+                y0, y1, x0, x1 = box
+                raw = raw[y0:y1, x0:x1]
+        if px_per_mv is None and pitch is not None:
+            px_per_mv = 10.0 * pitch
+    trace, valid = extract_trace(raw)
     if valid.mean() < 0.05:
         raise NoTraceError(
             f"no ECG trace found in the image (ink in "
@@ -219,5 +585,5 @@ def digitize_lead2(
     trace = interpolate_gaps(trace, valid)
     if deskew:
         trace, _ = theil_sen_detrend(trace)
-    mv = rows_to_millivolts(trace, image.shape[0], px_per_mv)
+    mv = rows_to_millivolts(trace, raw.shape[0], px_per_mv)
     return resample_trace(mv, target_len)

@@ -279,6 +279,131 @@ def test_millivolt_scale_accuracy():
     assert float(np.sqrt(np.mean(err**2))) < 0.1
 
 
+# ---------------------------------------------------------------------
+# Grid-pitch mV auto-calibration + strip auto-location (round 3): the
+# phone photo rarely fills the frame with the strip, and absolute
+# voltage scale must come from the paper's own 1 mm / 10 mm-per-mV grid
+# geometry, not from an assumed image height.
+# ---------------------------------------------------------------------
+
+
+def _render_mv(mv_signal, grid_step=10, h=250, w=2500,
+               grid_rgb=(250, 200, 200)):
+    """Render a signal GIVEN IN mV at the paper's true geometry:
+    1 grid square = `grid_step` px = 1 mm, 10 mm/mV."""
+    px_per_mv = 10.0 * grid_step
+    t = np.linspace(0, len(mv_signal) - 1, w)
+    trace_mv = np.interp(t, np.arange(len(mv_signal)), mv_signal)
+    rows = np.clip(
+        (h / 2 - trace_mv * px_per_mv), 1, h - 2
+    ).astype(np.int64)
+    img = np.full((h, w, 3), 255, np.uint8)
+    img[::grid_step, :, :] = grid_rgb
+    img[:, ::grid_step, :] = grid_rgb
+    cols = np.arange(w)
+    for dy in (-1, 0, 1):
+        img[np.clip(rows + dy, 0, h - 1), cols, :] = (40, 40, 40)
+    return img
+
+
+def _embed_in_photo(strip, photo_h=800, photo_w=3000, offset=(300, 250),
+                    bg=(120, 95, 70)):
+    """Paste the strip into a larger 'table' scene with a brightness
+    gradient (the realistic phone framing: strip on a desk)."""
+    photo = np.zeros((photo_h, photo_w, 3), np.uint8)
+    ramp = np.linspace(0.8, 1.2, photo_w, dtype=np.float32)[None, :, None]
+    photo[:] = np.clip(np.float32(bg) * ramp, 0, 255).astype(np.uint8)
+    y0, x0 = offset
+    h, w = strip.shape[:2]
+    photo[y0:y0 + h, x0:x0 + w] = strip
+    return photo
+
+
+@pytest.mark.parametrize("step", [10, 25])
+def test_grid_pitch_estimation(step):
+    sig, _ = _signal(seed=12)
+    img = _render(sig, grid_step=step)
+    pitch = digitize.estimate_grid_pitch_px(img)
+    assert pitch is not None
+    assert abs(pitch - step) < 0.6, pitch
+
+
+def test_grid_pitch_survives_tilt():
+    """2° tilt shifts gridline phase ~90 px across the width — fatal for
+    a whole-image profile, absorbed by per-band autocorrelation."""
+    sig, _ = _signal(seed=13)
+    img = _tilt(_render(sig, grid_step=25), 2.0)
+    pitch = digitize.estimate_grid_pitch_px(img)
+    assert pitch is not None
+    assert abs(pitch - 25) < 1.5, pitch
+
+
+def test_gridless_image_returns_none_pitch():
+    sig, _ = _signal(seed=13)
+    img = _render(sig, grid_rgb=(255, 255, 255))  # no grid drawn
+    assert digitize.estimate_grid_pitch_px(img) is None
+    # grayscale input likewise
+    assert digitize.estimate_grid_pitch_px(img[..., 0]) is None
+
+
+def test_grid_calibrated_absolute_millivolts():
+    """Digitize a strip rendered at true 1 mm/`step` px, 10 mm/mV
+    geometry WITHOUT telling the digitizer the scale: the grid pitch
+    must recover absolute mV within 0.05 mV RMSE. Deskew is off — a
+    random-walk test signal has a genuine linear component, and camera
+    tilt vs true drift is inherently indistinguishable from one strip
+    (real ECG has near-zero median slope, so the default stays on)."""
+    rng = np.random.default_rng(14)
+    raw = rng.standard_normal(2476).cumsum()
+    raw -= np.linspace(raw[0], raw[-1], len(raw))  # remove drift
+    mv_true = 0.8 * raw / (np.abs(raw).max() + 1e-9)
+    img = _render_mv(mv_true, grid_step=10)
+    mv = digitize.digitize_lead2(img, deskew=False)
+    err = (mv - mv.mean()) - (mv_true - mv_true.mean())
+    assert float(np.sqrt(np.mean(err**2))) < 0.05, err
+
+
+def test_locate_strip_in_table_photo():
+    strip = _render(_signal(seed=15)[0], grid_step=10)
+    photo = _embed_in_photo(strip, offset=(300, 250))
+    box = digitize.locate_strip(photo)
+    assert box is not None
+    y0, y1, x0, x1 = box
+    # the box must tightly cover the known placement (±5% of each dim)
+    assert abs(y0 - 300) < 60 and abs(y1 - 550) < 60
+    assert abs(x0 - 250) < 160 and abs(x1 - 2750) < 160
+
+
+def test_digitize_strip_on_a_table_end_to_end():
+    """Full pipeline on the photo scene: locate → calibrate → digitize
+    must track the ground-truth signal."""
+    sig, _ = _signal(seed=16)
+    photo = _embed_in_photo(_render(sig, grid_step=10))
+    corr, rmse = _score(digitize.digitize_lead2(photo), sig)
+    assert corr > 0.95, corr
+    assert rmse < 0.25, rmse
+
+
+def test_locate_full_frame_strip_is_noop():
+    sig, _ = _signal(seed=17)
+    img = _render(sig, grid_step=25)
+    assert digitize.locate_strip(img) is None
+
+
+def test_locate_brightness_fallback_gridless():
+    """A gridless (e.g. photocopied) strip on a dark table: location
+    falls back to the bright-paper cue."""
+    sig, _ = _signal(seed=18)
+    strip = _render(sig, grid_rgb=(255, 255, 255))
+    photo = _embed_in_photo(strip, offset=(200, 100), bg=(60, 55, 50))
+    box = digitize.locate_strip(photo)
+    assert box is not None
+    y0, y1, x0, x1 = box
+    assert abs(y0 - 200) < 60 and abs(y1 - 450) < 60
+    corr, _ = _score(digitize.digitize_lead2(photo), sig)
+    assert corr > 0.95, corr
+
+
 def test_blank_image_raises_no_trace():
     """A blank/overexposed photo must FAIL digitization (NoTraceError →
     HTTP 400), not silently become an all-zero 'signal' that the model
