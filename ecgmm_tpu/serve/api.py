@@ -41,7 +41,6 @@ from ecgmm_tpu.explain.gradcam import overlay_heatmap
 from ecgmm_tpu.explain.shap_fusion import modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
 from ecgmm_tpu.serve import digitize as digitize_mod
-from ecgmm_tpu.serve.digitize import digitize_lead2
 from ecgmm_tpu.serve.report import rule_based_report
 
 ENDPOINT = "/api/public/upload-ecgImage-lead2only"
@@ -605,8 +604,13 @@ class ServingPipeline:
         entirely and return the raw low-res Grad-CAM grid under
         heatmap_cam for client-side rendering; heatmap is empty)."""
         _t0 = time.perf_counter()
-        # 1. digitize the uploaded strip into a voltage series
-        mv = digitize_lead2(image_u8, target_len=self.signal_len)
+        # 1. digitize the uploaded strip into a voltage series (the
+        # metadata dict — scale source, grid pitch, crop, ink coverage
+        # — is forwarded to the client under "digitization" so it can
+        # warn when the photo had no calibrating grid)
+        mv, dig_info = digitize_mod.digitize_lead2_info(
+            image_u8, target_len=self.signal_len
+        )
 
         # 2. preprocess signal the training way — literally the same
         # helper the offline materialisation uses (native C++ when
@@ -761,6 +765,7 @@ class ServingPipeline:
             "heatmap": heatmap_b64,
             "feature_importance": feature_importance,
             "gpt_result": gpt_result,
+            "digitization": dig_info,
         }
         if heatmap_format == "jpeg":
             resp["heatmap_mime"] = heatmap_mime

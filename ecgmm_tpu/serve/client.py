@@ -72,6 +72,12 @@ f.addEventListener('submit', async (e) => {
   lbl.textContent = d.label; lbl.className = 'label-badge ' + d.label;
   document.getElementById('prob').textContent =
     ' (p=' + d.probability.toFixed(3) + ')';
+  // digitization-quality warning: without a detected calibration grid
+  // the voltage axis is an assumed scale, not measured millivolts
+  const st = document.getElementById('status');
+  if (d.digitization && d.digitization.scale_source === 'assumed')
+    st.textContent = 'warning: no calibration grid found in the photo; ' +
+      'voltage scale is assumed, not measured';
   // waveform
   const c = document.getElementById('wave'); c.width = c.clientWidth;
   const ctx = c.getContext('2d'); ctx.clearRect(0,0,c.width,c.height);

@@ -562,7 +562,35 @@ def digitize_lead2(
     overexposed or non-ECG photo): digitizing that to an all-zero
     'signal' would hand the model a flat line and return a confident
     diagnosis of nothing."""
+    return digitize_lead2_info(
+        image, target_len, px_per_mv, deskew, auto_locate
+    )[0]
+
+
+def digitize_lead2_info(
+    image: np.ndarray, target_len: int = 2476,
+    px_per_mv: Optional[float] = None,
+    deskew: bool = True,
+    auto_locate: bool = True,
+) -> Tuple[np.ndarray, dict]:
+    """`digitize_lead2` plus a metadata dict describing HOW the photo
+    was digitized, so callers (the serving API forwards it to clients)
+    can warn on low-confidence digitizations:
+
+      * ``scale_source`` — "grid" (absolute mV from the detected grid
+        pitch), "explicit" (caller-supplied px_per_mv) or "assumed"
+        (no grid found; reference-strip geometry assumed — voltages
+        are only correct up to a scale factor);
+      * ``grid_pitch_px`` — detected 1 mm pitch in px, or None;
+      * ``px_per_mv`` — the voltage scale actually used;
+      * ``crop`` — [y0, y1, x0, x1] strip box within the photo, or
+        None when the full frame was used;
+      * ``ink_fraction`` — fraction of columns with detected trace ink
+        (1.0 = clean continuous trace; low values mean gaps were
+        interpolated)."""
     raw = np.asarray(image)
+    pitch = None
+    box = None
     if auto_locate or px_per_mv is None:
         # one pooled grid analysis serves location, the grid gate AND
         # voltage calibration (cropping never changes the pixel pitch)
@@ -573,8 +601,13 @@ def digitize_lead2(
             if box is not None:
                 y0, y1, x0, x1 = box
                 raw = raw[y0:y1, x0:x1]
-        if px_per_mv is None and pitch is not None:
-            px_per_mv = 10.0 * pitch
+    if px_per_mv is not None:
+        scale_source = "explicit"
+    elif pitch is not None:
+        px_per_mv = 10.0 * pitch
+        scale_source = "grid"
+    else:
+        scale_source = "assumed"
     trace, valid = extract_trace(raw)
     if valid.mean() < 0.05:
         raise NoTraceError(
@@ -586,4 +619,13 @@ def digitize_lead2(
     if deskew:
         trace, _ = theil_sen_detrend(trace)
     mv = rows_to_millivolts(trace, raw.shape[0], px_per_mv)
-    return resample_trace(mv, target_len)
+    info = {
+        "scale_source": scale_source,
+        "grid_pitch_px": None if pitch is None else round(float(pitch), 2),
+        "px_per_mv": round(
+            float(px_per_mv or raw.shape[0] * 0.4), 2
+        ),
+        "crop": None if box is None else [int(v) for v in box],
+        "ink_fraction": round(float(valid.mean()), 3),
+    }
+    return resample_trace(mv, target_len), info

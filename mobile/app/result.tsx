@@ -86,6 +86,12 @@ export default function ResultScreen() {
         <Text style={styles.body}>
           모델 예측 확률: {((data.probability ?? 0) * 100).toFixed(1)}%
         </Text>
+        {data.digitization?.scale_source === 'assumed' && (
+          <Text style={styles.warn}>
+            ⚠️ 사진에서 ECG 눈금(격자)을 찾지 못해 전압 크기를 추정값으로
+            계산했습니다. 격자가 보이도록 다시 촬영하면 더 정확합니다.
+          </Text>
+        )}
         <Text style={styles.body}>
           해당 결과는 다음 항목들의 중요도를 기반으로 판단되었습니다.
         </Text>
@@ -135,6 +141,7 @@ const styles = StyleSheet.create({
   verdict: { fontSize: 18, fontWeight: '700', color: '#16a34a' },
   verdictAbnormal: { color: '#dc2626' },
   body: { fontSize: 14, color: '#111827', marginTop: 6, lineHeight: 20 },
+  warn: { fontSize: 13, color: '#b45309', marginTop: 6, lineHeight: 18 },
   toggle: {
     marginTop: 10,
     alignSelf: 'flex-start',

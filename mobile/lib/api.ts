@@ -29,6 +29,17 @@ export interface FeatureImportance {
   wt: number
 }
 
+export interface DigitizationInfo {
+  // how the photo was digitized — "grid" means absolute mV came from
+  // the detected 1 mm grid pitch; "assumed" means no grid was found and
+  // voltages are only correct up to a scale factor (warn the user)
+  scale_source: 'grid' | 'explicit' | 'assumed'
+  grid_pitch_px: number | null
+  px_per_mv: number
+  crop: [number, number, number, number] | null
+  ink_fraction: number
+}
+
 export interface AnalysisResult {
   label: 'Normal' | 'Abnormal'
   probability: number
@@ -36,6 +47,7 @@ export interface AnalysisResult {
   heatmap: string // base64 PNG Grad-CAM overlay
   feature_importance: FeatureImportance
   gpt_result: Record<string, string> // five Korean report sections
+  digitization?: DigitizationInfo
 }
 
 export interface PickedImage {

@@ -404,6 +404,76 @@ def test_locate_brightness_fallback_gridless():
     assert corr > 0.95, corr
 
 
+def _render_bold_paper(signal, h=250, w=2500, step=10):
+    """Real ECG paper: light minor lines every 1 mm plus BOLD major
+    lines every 5 mm (2 px, more saturated)."""
+    t = np.linspace(0, len(signal) - 1, w)
+    trace = np.interp(t, np.arange(len(signal)), signal)
+    lo, hi = trace.min(), trace.max()
+    rows = (
+        (1.0 - (trace - lo) / ((hi - lo) or 1)) * (h - 3) + 1
+    ).astype(np.int64)
+    img = np.full((h, w, 3), 255, np.uint8)
+    img[::step, :, :] = (250, 205, 205)
+    img[:, ::step, :] = (250, 205, 205)
+    for k in range(0, h, 5 * step):
+        img[k:k + 2, :, :] = (242, 150, 150)
+    for k in range(0, w, 5 * step):
+        img[:, k:k + 2, :] = (242, 150, 150)
+    cols = np.arange(w)
+    for dy in (-1, 0, 1):
+        img[np.clip(rows + dy, 0, h - 1), cols, :] = (40, 40, 40)
+    return img
+
+
+def test_bold_major_lines_dont_alias_pitch():
+    """Standard paper has bold lines every 5 small squares; the pitch
+    estimator must return the 1 mm minor pitch (the first
+    autocorrelation peak), not the 5 mm harmonic — a 5× scale error
+    would make every voltage 5× off."""
+    sig, _ = _signal(seed=21)
+    pitch = digitize.estimate_grid_pitch_px(_render_bold_paper(sig, step=10))
+    assert abs(pitch - 10) < 0.6, pitch
+    corr, rmse = _score(
+        digitize.digitize_lead2(_render_bold_paper(sig, step=10)), sig
+    )
+    assert corr > 0.95 and rmse < 0.25, (corr, rmse)
+    pitch = digitize.estimate_grid_pitch_px(_render_bold_paper(sig, step=25))
+    assert abs(pitch - 25) < 1.0, pitch
+
+
+def test_digitize_info_metadata():
+    """digitize_lead2_info reports how the digitization was done: grid
+    calibration on gridded strips, 'assumed' on gridless (so the
+    serving layer / client can warn), explicit passthrough, crop box on
+    photo scenes, ink coverage."""
+    sig, _ = _signal(seed=20)
+    mv, info = digitize.digitize_lead2_info(_render(sig, grid_step=10))
+    assert info["scale_source"] == "grid"
+    assert abs(info["grid_pitch_px"] - 10) < 0.6
+    assert abs(info["px_per_mv"] - 10 * info["grid_pitch_px"]) < 0.1
+    assert info["crop"] is None
+    assert info["ink_fraction"] > 0.95
+
+    _, info = digitize.digitize_lead2_info(
+        _render(sig, grid_rgb=(255, 255, 255))
+    )
+    assert info["scale_source"] == "assumed"
+    assert info["grid_pitch_px"] is None
+
+    _, info = digitize.digitize_lead2_info(
+        _render(sig, grid_step=10), px_per_mv=120.0
+    )
+    assert info["scale_source"] == "explicit"
+    assert info["px_per_mv"] == 120.0
+
+    photo = _embed_in_photo(_render(sig, grid_step=10), offset=(300, 250))
+    _, info = digitize.digitize_lead2_info(photo)
+    assert info["crop"] is not None
+    y0, y1, x0, x1 = info["crop"]
+    assert abs(y0 - 300) < 60 and abs(y1 - 550) < 60
+
+
 def test_blank_image_raises_no_trace():
     """A blank/overexposed photo must FAIL digitization (NoTraceError →
     HTTP 400), not silently become an all-zero 'signal' that the model

@@ -51,7 +51,7 @@ def test_result_fields_match_serving_response():
     ) as f:
         server = f.read()
     for field in ("label", "probability", "ecg_signal", "heatmap",
-                  "feature_importance", "gpt_result"):
+                  "feature_importance", "gpt_result", "digitization"):
         assert field in api_ts, field
         assert f'"{field}"' in server, field
     for slice_key in ("image", "signal", "age", "wt"):

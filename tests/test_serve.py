@@ -173,6 +173,10 @@ def test_http_endpoint_full_contract(server):
     fi = data["feature_importance"]
     assert set(fi) == {"image", "signal", "age", "wt"}
     assert abs(sum(fi.values()) - 100.0) < 1.0
+    dig = data["digitization"]
+    assert dig["scale_source"] in ("grid", "explicit", "assumed")
+    assert dig["px_per_mv"] > 0
+    assert 0.0 <= dig["ink_fraction"] <= 1.0
     assert set(data["gpt_result"]) == set(report.SECTIONS)
 
 
