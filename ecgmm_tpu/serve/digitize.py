@@ -286,15 +286,38 @@ def _grid_analysis(raw: np.ndarray, band_px: int = 128):
 def estimate_grid_pitch_px(
     image: np.ndarray, band_px: int = 128,
 ) -> Optional[float]:
-    """Vertical pixel pitch of the horizontal gridlines (px per 1 mm of
-    paper), or None when the photo shows no usable grid.
+    """Calibration-grade vertical pixel pitch of the horizontal
+    gridlines (px per 1 mm of paper), or None when the photo shows no
+    TRUSTWORTHY grid.
 
-    The gridness map is split into column bands `band_px` wide; each
-    band's per-row mean is one profile. Tilt shifts the gridline phase
-    between bands (3° over 2500 px ≈ 130 px — enough to erase a plain
-    whole-image profile) but only ~band·tan(3°) ≈ 7 px within a band,
-    so the summed per-band autocorrelation keeps the pitch peak."""
-    return _grid_analysis(np.asarray(image), band_px)[3]
+    The gridness map of a full-resolution central slice (≤512 columns
+    — resolution matters: the pooled location-grade analysis can beat
+    the 1 mm grid against JPEG's 16 px chroma blocks and report a 4×
+    harmonic) is split into `band_px`-wide bands; each band's per-row
+    mean is one profile. Tilt shifts the gridline phase between bands
+    but autocorrelation is phase-invariant, so the summed per-band
+    autocorrelation keeps the pitch peak. The row pitch is then
+    CROSS-CHECKED against the column pitch of the same slice: ECG grids
+    are square, so a real grid agrees on both axes (measured: within
+    0.1 px under shadow/noise/blur/JPEG/tilt/perspective), while
+    compression-block beats and blur artifacts do not — disagreement
+    > 20% (or a missing axis) returns None rather than shipping a
+    confidently wrong voltage scale."""
+    raw = np.asarray(image)
+    if raw.ndim != 3 or raw.shape[-1] < 3:
+        return None
+    w = raw.shape[1]
+    x0 = max(0, (w - 512) // 2)
+    g = gridness_map(raw[:, x0: x0 + 512])
+    if g is None:
+        return None
+    pitch_rows = _pitch_from_bands(g, band_px)
+    pitch_cols = _pitch_from_bands(np.ascontiguousarray(g.T), band_px)
+    if pitch_rows is None or pitch_cols is None:
+        return None
+    if abs(pitch_rows - pitch_cols) / max(pitch_rows, pitch_cols) > 0.2:
+        return None
+    return pitch_rows
 
 
 def _largest_run(mask: np.ndarray) -> Tuple[int, int]:
@@ -591,23 +614,24 @@ def digitize_lead2_info(
     raw = np.asarray(image)
     pitch = None
     box = None
-    if auto_locate or px_per_mv is None:
-        # one pooled grid analysis serves location, the grid gate AND
-        # voltage calibration (cropping never changes the pixel pitch)
-        analysis = _grid_analysis(raw)
-        pitch = analysis[3]
-        if auto_locate:
-            box = locate_strip(raw, _analysis=analysis)
-            if box is not None:
-                y0, y1, x0, x1 = box
-                raw = raw[y0:y1, x0:x1]
+    if auto_locate:
+        box = locate_strip(raw)
+        if box is not None:
+            y0, y1, x0, x1 = box
+            raw = raw[y0:y1, x0:x1]
     if px_per_mv is not None:
         scale_source = "explicit"
-    elif pitch is not None:
-        px_per_mv = 10.0 * pitch
-        scale_source = "grid"
     else:
-        scale_source = "assumed"
+        # calibration-grade pitch, measured on the (cropped) strip so
+        # background never pollutes the slice; cross-checked row vs
+        # column (see estimate_grid_pitch_px) so a degraded photo
+        # downgrades to "assumed" instead of shipping a wrong scale
+        pitch = estimate_grid_pitch_px(raw)
+        if pitch is not None:
+            px_per_mv = 10.0 * pitch
+            scale_source = "grid"
+        else:
+            scale_source = "assumed"
     trace, valid = extract_trace(raw)
     if valid.mean() < 0.05:
         raise NoTraceError(

@@ -442,6 +442,51 @@ def test_bold_major_lines_dont_alias_pitch():
     assert abs(pitch - 25) < 1.0, pitch
 
 
+def test_jpeg_block_beat_does_not_miscalibrate():
+    """Quality-25 JPEG chroma blocks can beat against a 10 px grid and
+    fake a 40 px period at pooled resolution — calibration must still
+    recover the true pitch (full-res slice + row/col cross-check), not
+    ship a 4× voltage error."""
+    sig, _ = _signal(seed=22)
+    img = _jpeg(_render(sig, grid_step=10), quality=25)
+    pitch = digitize.estimate_grid_pitch_px(img)
+    assert pitch is not None and abs(pitch - 10) < 0.6, pitch
+    _, info = digitize.digitize_lead2_info(img)
+    assert info["scale_source"] == "grid"
+
+
+def test_motion_blur_keeps_calibration():
+    """Horizontal motion blur smears the vertical gridlines but leaves
+    the horizontal ones (the mV axis) intact — both axes still agree on
+    the true period, so calibration survives."""
+    sig, _ = _signal(seed=22)
+    _, info = digitize.digitize_lead2_info(
+        _motion_blur(_render(sig, grid_step=10), k=9)
+    )
+    assert info["scale_source"] == "grid"
+    assert abs(info["grid_pitch_px"] - 10) < 0.6
+
+
+def test_unreliable_grid_downgrades_to_assumed():
+    """The kitchen-sink photo's grid chroma is too degraded to trust:
+    the estimator must say so (scale_source 'assumed', pitch None) —
+    a confidently wrong 2× scale is worse than an honest assumption."""
+    sig, _ = _signal(seed=11)
+    img = _jpeg(
+        _motion_blur(
+            _vignette(
+                _tilt(_noise(_shadow(_render(sig, grid_step=10)), 8), 1.5),
+                0.3,
+            ),
+            3,
+        ),
+        45,
+    )
+    _, info = digitize.digitize_lead2_info(img)
+    assert info["scale_source"] == "assumed"
+    assert info["grid_pitch_px"] is None
+
+
 def test_digitize_info_metadata():
     """digitize_lead2_info reports how the digitization was done: grid
     calibration on gridded strips, 'assumed' on gridless (so the
