@@ -142,6 +142,7 @@ class ServingPipeline:
         background_embeddings: Optional[np.ndarray] = None,
         signal_len: int = 2476,
         img_hw: Tuple[int, int] = (224, 224),
+        temperature: float = 1.0,
     ):
         self.model = model
         self.variables = variables
@@ -149,6 +150,11 @@ class ServingPipeline:
         self.clinical_scaler = clinical_scaler
         self.signal_len = signal_len
         self.img_hw = img_hw
+        # temperature-scaled softmax (train/calibrate.py): a fitted T
+        # from the training run's validation split makes the served
+        # probability honest; 1.0 = raw softmax. Baked into the jitted
+        # request program (and therefore into AOT exports).
+        self.temperature = float(temperature)
         cfg = model.cfg
         self.dims = (cfg.image_dim, cfg.signal_dim, cfg.clinical_dim)
         if background_embeddings is None:
@@ -240,6 +246,7 @@ class ServingPipeline:
             "requests": n,
             "mean_latency_ms": (lat / n * 1e3) if n else 0.0,
             "aot": self.model is None,
+            "temperature": getattr(self, "temperature", 1.0),
             "batching": None,
         }
         b = self._batcher
@@ -254,11 +261,12 @@ class ServingPipeline:
         jitted for the batch-1 fusion forward)."""
         model, variables = self.model, self.variables
         d0, d1, _ = self.dims
+        inv_temp = 1.0 / self.temperature
 
         @jax.jit
         def forward(img, sig, clin):
             out = model.apply(variables, img, sig, clin)
-            return jax.nn.softmax(out.fusion_logits, -1)
+            return jax.nn.softmax(out.fusion_logits * inv_temp, -1)
 
         @jax.jit
         def encode(img, sig, clin):
@@ -327,7 +335,8 @@ class ServingPipeline:
                 variables, img_f, sig_f, clin_f,
                 method=type(model).fuse_embeddings,
             )
-            probs = jax.nn.softmax(logits, -1)
+            # temperature never moves argmax, only honesty of the prob
+            probs = jax.nn.softmax(logits * inv_temp, -1)
             pred = jnp.argmax(probs[0])
             # feature-map-native CAM (7×7): the host upsamples ONCE to the
             # original strip, and only the tiny map crosses the relay
@@ -411,12 +420,23 @@ class ServingPipeline:
         state = ckpt.restore(which, skeleton)
         trained = {"params": state.params, **state.model_state}
 
+        # fitted softmax temperature for this tag, if the run calibrated
+        # (workloads.run saves one per best/last tag; train/calibrate.py)
+        temperature = 1.0
+        if ckpt.exists("calibration"):
+            calib = ckpt.restore(
+                "calibration",
+                {"temperature_best": 1.0, "temperature_last": 1.0},
+            )
+            temperature = float(calib.get(f"temperature_{which}", 1.0))
+
         # real class-balanced background embeddings from the train split
         pipe = cls(
             model, trained,
             ecg_scaler=data.ecg_scaler,
             clinical_scaler=data.clinical_scaler,
             signal_len=sig_len, img_hw=tuple(img_hw),
+            temperature=temperature,
         )
         emb = np.asarray(pipe._encode(
             normalize_images(data.train.images[:64]),
@@ -483,6 +503,9 @@ class ServingPipeline:
         pipe.dims = tuple(meta["dims"])
         pipe.n_clin = int(meta["clinical_in_features"])
         pipe.background = host["background"]
+        # informational only — the temperature is already baked into the
+        # exported program's constants
+        pipe.temperature = float(meta.get("temperature", 1.0))
         pipe._predict_all = predict_all
         pipe._batcher = None
         pipe._init_stats()

@@ -109,6 +109,10 @@ def export_bundle(
         "clinical_in_features": n_clin,
         "dims": list(pipeline.dims),
         "batch_buckets": sorted(batch_buckets or ()),
+        # informational: the softmax temperature is BAKED into the
+        # exported program (it's a constant in the traced request path);
+        # recorded here so bundles are self-describing
+        "temperature": float(getattr(pipeline, "temperature", 1.0)),
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, _META), "w") as f:

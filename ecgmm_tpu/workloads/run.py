@@ -26,7 +26,7 @@ from ecgmm_tpu.config import Config, get_preset
 from ecgmm_tpu.data import pipeline, synthetic
 from ecgmm_tpu.models import ECGMultimodalModel, ResNet18, ResNet1DSE
 from ecgmm_tpu.parallel import make_mesh
-from ecgmm_tpu.train import engine, optim as optim_lib
+from ecgmm_tpu.train import calibrate, engine, optim as optim_lib
 from ecgmm_tpu.train.checkpoint import CheckpointManager
 from ecgmm_tpu.train.logging import MetricWriter
 from ecgmm_tpu.train.report import test_report
@@ -383,7 +383,17 @@ def run(cfg: Config, data: pipeline.MaterializedData,
             if test_streamed else None
         )
         out_dir = os.path.join(t.output_dir, stamp)
+        # temperature scaling is fit on the VAL split per restored state
+        # (never on test) and only REPORTED against test — see
+        # train/calibrate.py; the fitted temperatures are persisted next
+        # to the checkpoints for serving to pick up
+        val_streamed = isinstance(data.val, pipeline.HostArrays)
+        val_eval_epoch = (
+            None if val_streamed or data.val.n == 0
+            else engine.make_eval_epoch(task, data.val, mesh=mesh)
+        )
         results = {}
+        temperatures = {}
         for tag in ("best", "last"):
             st = ckpt.restore(tag, result.state) if ckpt.exists(tag) else result.state
             if test_streamed:
@@ -400,10 +410,49 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                 ev.logits, ev.labels, out_dir, tag,
                 threshold_search=(t.loss == "focal"),
             )
+            if data.val.n > 0 and len(ev.labels) > 0:
+                if val_streamed:
+                    vev = engine.evaluate_streamed(
+                        task, st, data.val, t.eval_bs, mesh,
+                        stream_chunk_batches=t.stream_chunk_batches,
+                        program=streamed_prog,
+                    )
+                else:
+                    vev = engine.evaluate_scan(
+                        task, st, data.val, t.eval_bs, mesh,
+                        eval_epoch=val_eval_epoch,
+                    )
+                temp = calibrate.fit_temperature(vev.logits, vev.labels)
+                temperatures[tag] = temp
+                results[tag].update(
+                    temperature=round(temp, 4),
+                    test_ece=round(calibrate.expected_calibration_error(
+                        calibrate.calibrated_probs(ev.logits, 1.0),
+                        ev.labels,
+                    ), 4),
+                    test_ece_calibrated=round(
+                        calibrate.expected_calibration_error(
+                            calibrate.calibrated_probs(ev.logits, temp),
+                            ev.labels,
+                        ), 4),
+                )
             if verbose:
                 print(f"[{tag}] {results[tag]}")
+        if temperatures:
+            # fixed two-key tree so restorers always have a matching
+            # skeleton (orbax restores into a target structure)
+            ckpt.save(
+                "calibration",
+                {"temperature_best": float(temperatures.get("best", 1.0)),
+                 "temperature_last": float(temperatures.get("last", 1.0))},
+                block=True,
+            )
     finally:
         writer.close()
+        # drain the async checkpoint writer before the interpreter
+        # starts tearing down thread machinery — a still-flushing orbax
+        # save at exit raises "cannot schedule new futures" noise
+        ckpt.close()
     return result, results
 
 

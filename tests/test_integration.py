@@ -126,6 +126,9 @@ def test_serving_from_trained_run(tmp_path):
     assert out["label"] in ("Normal", "Abnormal")
     assert abs(sum(out["feature_importance"].values()) - 100.0) < 1.0
     assert len(out["ecg_signal"]) > 50
+    # the run fit a softmax temperature on its val split (train/
+    # calibrate.py) and from_run loaded it into the request program
+    assert pipe.temperature > 0 and pipe.temperature != 1.0
 
 
 def test_hospital_layout_end_to_end(tmp_path):
