@@ -634,6 +634,13 @@ class ServingPipeline:
         mv, dig_info = digitize_mod.digitize_lead2_info(
             image_u8, target_len=self.signal_len
         )
+        # the image BRANCH must see the strip, not the table it was
+        # photographed on — feed the located crop to the encoder and
+        # render the Grad-CAM overlay on the same crop (the client
+        # displays heatmap over waveform, i.e. over the strip)
+        if dig_info["crop"] is not None:
+            y0, y1, x0, x1 = dig_info["crop"]
+            image_u8 = image_u8[y0:y1, x0:x1]
 
         # 2. preprocess signal the training way — literally the same
         # helper the offline materialisation uses (native C++ when

@@ -5,6 +5,7 @@ contract)."""
 import base64
 import io
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -334,6 +335,29 @@ def test_clinical_attribution_is_per_feature(demo_pipeline):
     clin2 = jnp.asarray([[1.5, -0.7]], jnp.float32)
     attr2 = np.asarray(p._clin_attr(img, sig, clin2, jnp.asarray(0)))
     assert attr2[0] != attr2[1]
+
+
+def test_scene_photo_feeds_cropped_strip_to_image_branch(demo_pipeline):
+    """A strip photographed on a table: the image encoder and the
+    Grad-CAM overlay must see the LOCATED STRIP, not the whole scene —
+    the heatmap's pixel dimensions therefore match the crop box, and
+    the digitization metadata records that a crop happened."""
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_digitize_robust import _embed_in_photo, _render, _signal
+
+    sig, _ = _signal(seed=30)
+    photo = _embed_in_photo(_render(sig, grid_step=10), offset=(300, 250))
+    out = demo_pipeline.predict(photo, {"age": 60, "weight": 70})
+    dig = out["digitization"]
+    assert dig["crop"] is not None
+    y0, y1, x0, x1 = dig["crop"]
+    heat = Image.open(io.BytesIO(base64.b64decode(out["heatmap"])))
+    assert heat.size == (x1 - x0, y1 - y0)
+    assert heat.size != (photo.shape[1], photo.shape[0])
 
 
 def test_feature_importance_age_wt_not_tied(server):
