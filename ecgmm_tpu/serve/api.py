@@ -873,11 +873,17 @@ def make_handler(pipeline: ServingPipeline):
                     raise BadRequest(str(e))
                 if "file" not in fields:
                     raise BadRequest("missing multipart field 'file'")
-                from PIL import Image
+                from PIL import Image, ImageOps
 
                 try:
+                    # exif_transpose first: phone cameras store portrait/
+                    # rotated shots as landscape pixels + an EXIF
+                    # Orientation tag; without applying it the digitizer
+                    # would see the strip sideways or upside-down
                     img = np.asarray(
-                        Image.open(io.BytesIO(fields["file"])).convert("RGB")
+                        ImageOps.exif_transpose(
+                            Image.open(io.BytesIO(fields["file"]))
+                        ).convert("RGB")
                     )
                 except Exception:
                     raise BadRequest("'file' is not a decodable image")

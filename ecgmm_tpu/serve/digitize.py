@@ -89,15 +89,6 @@ def _closing(brightness: np.ndarray, w: int) -> np.ndarray:
     return up[:h, :wid]
 
 
-def _local_max(brightness: np.ndarray, w: int) -> np.ndarray:
-    """Per-pixel maximum over the pixel's w×w tile (block max, upsampled
-    back)."""
-    h, wid = brightness.shape
-    blocks = _block_max(brightness, w)
-    up = np.repeat(np.repeat(blocks, w, 0), w, 1)
-    return up[:h, :wid]
-
-
 def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     """Relative ink-darkness in [0, 1] from an RGB uint8 photo.
 
@@ -382,7 +373,6 @@ def _trim_dark_borders(
 
 def locate_strip(
     image: np.ndarray,
-    _analysis=None,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(y0, y1, x0, x1) bounding box of the ECG paper within a larger
     photo, or None when the whole frame should be used.
@@ -397,14 +387,21 @@ def locate_strip(
     returns None (use the full frame).
 
     Candidate-box profiling runs on the 2×2-pooled image (cheap); the
-    safety passes (ink veto, dark-border trim) run at full resolution.
-    `_analysis` shares a precomputed `_grid_analysis` result
-    (internal — used by `digitize_lead2`)."""
-    raw = np.asarray(image)
+    safety passes (ink veto, dark-border trim) run at full resolution."""
+    return _locate_strip_impl(np.asarray(image))[0]
+
+
+def _locate_strip_impl(
+    raw: np.ndarray,
+) -> Tuple[Optional[Tuple[int, int, int, int]], Optional[np.ndarray]]:
+    """`locate_strip` body returning (box, full-frame darkness map or
+    None). The darkness map is the digitizer's single most expensive
+    pass (see `darkness_map`); when the ink veto computed it here and
+    the box ends up covering the whole frame, `digitize_lead2_info`
+    reuses it for trace extraction instead of recomputing it."""
     h, w = raw.shape[:2]
-    g, bright_small, scale, pitch = (
-        _grid_analysis(raw) if _analysis is None else _analysis
-    )
+    g, bright_small, scale, pitch = _grid_analysis(raw)
+    rel_full: Optional[np.ndarray] = None
 
     def _box_from(score: np.ndarray, frac: float, win: int):
         # thresholds are anchored at the profile's own background level
@@ -447,7 +444,7 @@ def locate_strip(
         ).astype(np.float32)
         box = _box_from(paper, 0.55, max(bright_small.shape[:2]) // 64)
     if box is None:
-        return None
+        return None, rel_full
     # scale the pooled-coordinate candidate box back to full resolution
     y0, y1, x0, x1 = (
         box[0] * scale, min(h, box[1] * scale),
@@ -467,27 +464,28 @@ def locate_strip(
     # side while the dark trace survives, and cutting live trace is
     # strictly worse than keeping some background
     if x0 > 0 or x1 < w or y0 > 0 or y1 < h:
-        rel = darkness_map(raw)
+        rel_full = darkness_map(raw)
         if x0 > 0 or x1 < w:
-            ink_cols = rel.max(axis=0) >= 0.3
+            ink_cols = rel_full.max(axis=0) >= 0.3
             outside = np.concatenate([ink_cols[:x0], ink_cols[x1:]])
             if outside.size and outside.mean() > 0.3:
                 x0, x1 = 0, w
         if y0 > 0 or y1 < h:
-            ink_rows = rel.max(axis=1) >= 0.3
+            ink_rows = rel_full.max(axis=1) >= 0.3
             outside = np.concatenate([ink_rows[:y0], ink_rows[y1:]])
             if outside.size and outside.mean() > 0.3:
                 y0, y1 = 0, h
     y0, y1, x0, x1 = _trim_dark_borders(raw, (y0, y1, x0, x1))
     if (y1 - y0) >= 0.95 * h and (x1 - x0) >= 0.95 * w:
-        return None
-    return y0, y1, x0, x1
+        return None, rel_full
+    return (y0, y1, x0, x1), rel_full
 
 
 def extract_trace(
     image: np.ndarray,
     col_frac: float = 0.6,
     abs_floor: float = 0.12,
+    rel: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-column trace row (float) + validity mask from an RGB uint8
     strip photo.
@@ -500,16 +498,29 @@ def extract_trace(
     half its nominal contrast (ink missed), while a slanted bright
     border next to shadowed paper produces broad mid-darkness bands
     (phantom ink admitted). The per-column rule tracks the former and
-    rejects the latter. `abs_floor` is the absolute minimum darkness
-    for a column to be considered to contain trace at all, so sensor
-    noise on trace-free columns (or a blank photo) never qualifies."""
-    rel = darkness_map(image)
+    rejects the latter.
+
+    Column VALIDITY is strip-adaptive too: `abs_floor` alone would let
+    mid-darkness artifacts (a crease shadow, pencil annotation or stain
+    reads ~0.2 relative darkness) register as trace in columns the real
+    trace never crosses, injecting phantom voltage excursions. The real
+    trace is much darker than such artifacts in the same photo, so a
+    column counts as containing trace only if its darkest pixel reaches
+    40% of the strip's own trace darkness (90th percentile of column
+    maxima); `abs_floor` remains the absolute minimum, so sensor noise
+    on a trace-free/blank photo still never qualifies.
+
+    `rel` reuses a precomputed `darkness_map(image)` (the digitizer's
+    most expensive pass) when the caller already has one."""
+    if rel is None:
+        rel = darkness_map(image)
     h, w = rel.shape
     col_max = rel.max(axis=0)
-    threshold = np.maximum(abs_floor, col_frac * col_max)[None, :]
+    floor = max(abs_floor, 0.4 * float(np.percentile(col_max, 90)))
+    threshold = np.maximum(floor, col_frac * col_max)[None, :]
     weights = np.where(rel >= threshold, rel, 0.0)
     colsum = weights.sum(axis=0)
-    valid = (col_max >= abs_floor) & (colsum > 0)
+    valid = (col_max >= floor) & (colsum > 0)
     rows = np.arange(h, dtype=np.float32)
     centroid = np.where(
         valid,
@@ -614,11 +625,15 @@ def digitize_lead2_info(
     raw = np.asarray(image)
     pitch = None
     box = None
+    rel_full = None
     if auto_locate:
-        box = locate_strip(raw)
+        box, rel_full = _locate_strip_impl(raw)
         if box is not None:
             y0, y1, x0, x1 = box
             raw = raw[y0:y1, x0:x1]
+            # the crop changes the frame (and the paper-envelope block
+            # alignment); recompute darkness on the much smaller crop
+            rel_full = None
     if px_per_mv is not None:
         scale_source = "explicit"
     else:
@@ -632,7 +647,7 @@ def digitize_lead2_info(
             scale_source = "grid"
         else:
             scale_source = "assumed"
-    trace, valid = extract_trace(raw)
+    trace, valid = extract_trace(raw, rel=rel_full)
     if valid.mean() < 0.05:
         raise NoTraceError(
             f"no ECG trace found in the image (ink in "

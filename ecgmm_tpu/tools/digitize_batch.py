@@ -42,7 +42,22 @@ def _find_images(image_dir: str) -> List[Tuple[int, str]]:
         stem, ext = os.path.splitext(f)
         if ext.lower() in _EXTS and stem.isdigit():
             out.append((int(stem), os.path.join(image_dir, f)))
-    return sorted(out)
+    out.sort()
+    # duplicate patient ids (e.g. 3.jpg AND 3.png, format-conversion
+    # leftovers) would silently overwrite each other's signal row and
+    # duplicate the report index — which file is the patient's strip is
+    # ambiguous, so refuse rather than guess
+    dups = sorted({
+        idx for (idx, _), (jdx, _) in zip(out, out[1:]) if idx == jdx
+    })
+    if dups:
+        raise ValueError(
+            f"duplicate numeric stems in {image_dir!r} for patient id(s) "
+            f"{dups}: multiple files share an id (e.g. 3.jpg and 3.png) "
+            "— remove or rename the extras so each patient has exactly "
+            "one strip image"
+        )
+    return out
 
 
 def digitize_directory(
@@ -57,7 +72,7 @@ def digitize_directory(
     (index = patient id, `target_len` float32 columns); `report` has
     one row per FOUND image with the digitization metadata, plus an
     `error` column (empty string when digitization succeeded)."""
-    from PIL import Image
+    from PIL import Image, ImageOps
 
     found = _find_images(image_dir)
     if not found:
@@ -71,7 +86,12 @@ def digitize_directory(
                "px_per_mv": np.nan, "ink_fraction": np.nan,
                "cropped": False, "error": ""}
         try:
-            img = np.asarray(Image.open(path).convert("RGB"))
+            # apply the EXIF Orientation tag (phone cameras store
+            # rotated shots as landscape pixels + a tag) before
+            # digitizing — same as the serving decode path
+            img = np.asarray(
+                ImageOps.exif_transpose(Image.open(path)).convert("RGB")
+            )
             mv, info = digitize.digitize_lead2_info(
                 img, target_len=target_len, px_per_mv=px_per_mv
             )

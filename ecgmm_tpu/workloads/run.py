@@ -372,22 +372,26 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         # ONE scan dispatch; the compiled eval program is shared between tags.
         # An over-budget test split (HostArrays) streams instead.
         test_streamed = isinstance(data.test, pipeline.HostArrays)
+        val_streamed = isinstance(data.val, pipeline.HostArrays)
         eval_epoch = (
             None if test_streamed
             else engine.make_eval_epoch(task, data.test, mesh=mesh)
         )
+        # one streamed program serves BOTH streamed splits across both
+        # best/last tags (it depends only on task/mesh/chunked) — each
+        # extra builder call would be a fresh trace and a fresh remote
+        # compile on the relayed TPU
         streamed_prog = (
             engine.make_streamed_eval_program(
                 task, mesh=mesh, chunked=t.stream_chunk_batches > 1
             )
-            if test_streamed else None
+            if (test_streamed or val_streamed) else None
         )
         out_dir = os.path.join(t.output_dir, stamp)
         # temperature scaling is fit on the VAL split per restored state
         # (never on test) and only REPORTED against test — see
         # train/calibrate.py; the fitted temperatures are persisted next
         # to the checkpoints for serving to pick up
-        val_streamed = isinstance(data.val, pipeline.HostArrays)
         val_eval_epoch = (
             None if val_streamed or data.val.n == 0
             else engine.make_eval_epoch(task, data.val, mesh=mesh)
@@ -410,7 +414,9 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                 ev.logits, ev.labels, out_dir, tag,
                 threshold_search=(t.loss == "focal"),
             )
-            if data.val.n > 0 and len(ev.labels) > 0:
+            # the temperature fit needs only the VAL split; test labels
+            # are needed only for the two ECE report lines below
+            if data.val.n > 0:
                 if val_streamed:
                     vev = engine.evaluate_streamed(
                         task, st, data.val, t.eval_bs, mesh,
@@ -424,18 +430,20 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                     )
                 temp = calibrate.fit_temperature(vev.logits, vev.labels)
                 temperatures[tag] = temp
-                results[tag].update(
-                    temperature=round(temp, 4),
-                    test_ece=round(calibrate.expected_calibration_error(
-                        calibrate.calibrated_probs(ev.logits, 1.0),
-                        ev.labels,
-                    ), 4),
-                    test_ece_calibrated=round(
-                        calibrate.expected_calibration_error(
-                            calibrate.calibrated_probs(ev.logits, temp),
-                            ev.labels,
-                        ), 4),
-                )
+                results[tag].update(temperature=round(temp, 4))
+                if len(ev.labels) > 0:
+                    results[tag].update(
+                        test_ece=round(
+                            calibrate.expected_calibration_error(
+                                calibrate.calibrated_probs(ev.logits, 1.0),
+                                ev.labels,
+                            ), 4),
+                        test_ece_calibrated=round(
+                            calibrate.expected_calibration_error(
+                                calibrate.calibrated_probs(ev.logits, temp),
+                                ev.labels,
+                            ), 4),
+                    )
             if verbose:
                 print(f"[{tag}] {results[tag]}")
         if temperatures:

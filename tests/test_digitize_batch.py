@@ -83,3 +83,41 @@ def test_px_per_mv_override(tmp_path):
     _, report = digitize_batch.digitize_directory(d, px_per_mv=100.0)
     assert (report["scale_source"] == "explicit").all()
     assert (report["px_per_mv"] == 100.0).all()
+
+
+def test_duplicate_stem_rejected(tmp_path):
+    """3.jpg AND 3.png for the same patient id is ambiguous — silent
+    last-one-wins would train on an arbitrary file (round-3 review
+    finding); the tool must refuse with the duplicated id named."""
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, seed=7,
+                                   img_hw=(250, 2500))
+    img = cohort.images[0]
+    Image.fromarray(img).save(tmp_path / "3.png")
+    Image.fromarray(img).save(tmp_path / "3.jpg")
+    Image.fromarray(img).save(tmp_path / "4.png")
+    with pytest.raises(ValueError, match=r"\[3\]"):
+        digitize_batch.digitize_directory(str(tmp_path))
+
+
+def test_exif_orientation_applied(tmp_path):
+    """A phone photo stored sideways with EXIF Orientation must be
+    righted before digitization (PIL ignores the tag unless
+    exif_transpose is applied — round-3 fix); the digitized row must
+    track the source signal as well as a straight photo would."""
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, seed=9,
+                                   img_hw=(250, 2500))
+    d = tmp_path / "strips"
+    d.mkdir()
+    pil = Image.fromarray(cohort.images[0])
+    stored = pil.transpose(Image.ROTATE_90)  # pixels stored sideways
+    ex = Image.Exif()
+    ex[0x0112] = 6  # Orientation: exif_transpose rotates back
+    stored.save(d / "1.jpg", quality=95, exif=ex)
+    signals, report = digitize_batch.digitize_directory(str(d))
+    assert report.loc[1, "error"] == ""
+    mv = signals.loc[1].to_numpy()
+    sig = cohort.signals[0]
+    a = sig - sig.mean()
+    b = mv - mv.mean()
+    corr = float((a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert corr > 0.9, corr

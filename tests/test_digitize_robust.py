@@ -530,3 +530,48 @@ def test_blank_image_raises_no_trace():
     blank = np.full((250, 2500, 3), 245, np.uint8)
     with pytest.raises(NoTraceError, match="no ECG trace"):
         digitize_lead2(blank)
+
+
+def test_smudge_in_trace_free_region_is_not_trace():
+    """A mid-darkness artifact (crease shadow / pencil mark / stain,
+    ~0.2 relative darkness) in columns the trace never crosses must NOT
+    register as valid trace: the strip-adaptive validity floor keys off
+    the real trace's much higher darkness. Regression for the round-3
+    review finding on the absolute-only 0.12 floor."""
+    sig, _ = _signal(seed=11)
+    h, w = 250, 2500
+    img = _render(sig, h=h, w=w)
+    # trace only in the left 80%: blank out the right 20% to paper...
+    cut = int(w * 0.8)
+    img[:, cut:, :] = 255
+    img[::25, cut:, :] = (250, 200, 200)  # restore the grid there
+    # ...and add a faint smudge band (brightness 205 ≈ 0.20 relative
+    # darkness) in the blank region, well away from the baseline row
+    img[15:25, cut + 100: cut + 240, :] = 205
+    trace, valid = digitize.extract_trace(img)
+    assert not valid[cut + 100: cut + 240].any(), (
+        "smudge columns were accepted as trace"
+    )
+    # end-to-end: the digitized tail must stay near the interpolated
+    # baseline instead of jumping ~1 mV to the smudge rows
+    mv = digitize.digitize_lead2(img, auto_locate=False)
+    tail = mv[int(2476 * 0.85):]
+    assert np.abs(tail - np.median(mv)).max() < 0.6, (
+        "phantom excursion digitized from the smudge"
+    )
+
+
+def test_blurred_low_contrast_trace_still_valid():
+    """The adaptive validity floor must NOT reject a genuinely
+    low-contrast (motion-blurred) trace: with no darker artifact in the
+    photo, the floor tracks the trace's own 90th-percentile darkness."""
+    from scipy import ndimage
+
+    sig, _ = _signal(seed=12)
+    img = _render(sig)
+    blurred = np.clip(
+        ndimage.uniform_filter1d(img.astype(np.float32), 9, axis=1),
+        0, 255,
+    ).astype(np.uint8)
+    corr, _ = _score(digitize.digitize_lead2(blurred), sig)
+    assert corr > 0.9, corr
