@@ -108,6 +108,12 @@ def materialize_trimodal(
     used by the --split-cache save path so over-HBM datasets can be
     persisted without ever touching the device (and without the
     device→host readback a post-promotion save would cost).
+
+    device=True promotes each split to device residency ONLY when it
+    fits the HBM budget (resolve_hbm_budget); over-budget splits stay
+    HostArrays for the streaming engine path. Checking BEFORE the
+    upload matters: an unconditional _promote of a larger-than-HBM
+    split would OOM before any later fit_in_budget could demote it.
     """
     sp = splits.stratified_811(cohort.labels, seed=cfg.train.seed)
 
@@ -142,7 +148,8 @@ def materialize_trimodal(
             labels=np.asarray(cohort.labels[idx], np.int32),
             indices=cohort.indices[idx],
         )
-        return _promote(host) if device else host
+        return fit_in_budget(host, resolve_hbm_budget()) if device \
+            else host
 
     return MaterializedData(
         train=build(sp.train),
@@ -187,7 +194,8 @@ def materialize_signal(
             labels=np.asarray(labels[idx], np.int32),
             indices=np.asarray(idx),
         )
-        return _promote(host) if device else host
+        return fit_in_budget(host, resolve_hbm_budget()) if device \
+            else host
 
     ident = preprocess.Scaler(np.zeros(1), np.ones(1))
     return MaterializedData(
@@ -273,9 +281,11 @@ def iterate_batches(
         idx = order[start:start + batch_size]
         if drop_remainder and len(idx) < batch_size:
             break
-        idx, mask = _pad_indices(
-            idx, mesh.shape["data"] if mesh is not None else 1
-        )
+        # pad the tail to the FULL batch size: a ragged tail shape would
+        # force a second trace/compile of any jitted consumer (30–250 s
+        # per compile on the relayed TPU) for one batch; pad rows are
+        # metric-neutral via the mask
+        idx, mask = _pad_indices(idx, batch_size)
         didx = jnp.asarray(idx, jnp.int32)
 
         def take(a):

@@ -540,6 +540,50 @@ def fit(
         prev_handler = _signal.signal(_signal.SIGTERM, _on_term)
     except ValueError:
         pass  # not the main thread — skip graceful-preemption hook
+
+    try:
+        return _fit_loop(
+            task, state, tx, train_arrays, val_arrays, cfg, mesh, ckpt,
+            writer, log_prefix, verbose, train_sample_weights, keep_best,
+            preempted,
+        )
+    finally:
+        # Cleanup must survive ANY exit — normal return, the debug_nans
+        # FloatingPointError, KeyboardInterrupt, a checkpoint-writer
+        # error: a leaked handler makes the process ignore SIGTERM, a
+        # leaked debug_nans flag poisons every later fit in the process,
+        # and an undrained checkpoint queue swallows async write errors.
+        if prev_handler is not None:
+            try:
+                import signal as _signal
+
+                _signal.signal(_signal.SIGTERM, prev_handler)
+            except ValueError:
+                pass
+        if prev_debug_nans is not None:
+            jax.config.update("jax_debug_nans", prev_debug_nans)
+        if ckpt is not None:
+            ckpt.wait_until_finished()  # drain async writes
+
+
+def _fit_loop(
+    task: Task,
+    state: TrainState,
+    tx: optax.GradientTransformation,
+    train_arrays: Arrays,
+    val_arrays: Arrays,
+    cfg: TrainConfig,
+    mesh,
+    ckpt: Optional[CheckpointManager],
+    writer: Optional[MetricWriter],
+    log_prefix: str,
+    verbose: bool,
+    train_sample_weights: Optional[np.ndarray],
+    keep_best: bool,
+    preempted: dict,
+) -> FitResult:
+    """fit()'s epoch loop; fit() owns setup/teardown (debug_nans scope,
+    SIGTERM handler, checkpoint drain) around this."""
     # Splits over the HBM budget arrive as HostArrays and stream through
     # the double-buffered prefetcher — per-batch jitted steps, or (with
     # cfg.stream_chunk_batches > 1) super-chunks of K planned batches per
@@ -563,9 +607,13 @@ def fit(
             task, tx, train_arrays, mesh=mesh, donate=cfg.donate_state
         )
     if val_chunked:
-        chunk_eval = _make_eval_program(task, mesh=mesh)
+        # via make_streamed_eval_program so the in-fit streamed val path
+        # can never diverge from the evaluate_streamed protocol path
+        chunk_eval = make_streamed_eval_program(task, mesh=mesh,
+                                                chunked=True)
     elif val_streamed:
-        stream_eval_step = make_eval_step(task)
+        stream_eval_step = make_streamed_eval_program(task, mesh=mesh,
+                                                      chunked=False)
     else:
         eval_epoch = make_eval_epoch(task, val_arrays, mesh=mesh)
     if mesh is not None:
@@ -785,19 +833,6 @@ def fit(
                 # About to die: block for durability (async elsewhere).
                 ckpt.save("last", state, block=True)
             break
-
-    if prev_handler is not None:
-        try:
-            import signal as _signal
-
-            _signal.signal(_signal.SIGTERM, prev_handler)
-        except ValueError:
-            pass
-    if prev_debug_nans is not None:
-        jax.config.update("jax_debug_nans", prev_debug_nans)
-
-    if ckpt is not None:
-        ckpt.wait_until_finished()  # drain async writes before returning
 
     return FitResult(
         state=state, history=history, best_epoch=best_epoch,

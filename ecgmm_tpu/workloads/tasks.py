@@ -213,9 +213,7 @@ def make_fusion_head_task(model, cfg: TrainConfig) -> Task:
             train=train, rngs=rngs if train else None, method=method,
         )
         # no BatchNorm in the trainable surface — model_state passes through
-        return outputs, {
-            k: v for k, v in variables.items() if k != "params"
-        }
+        return outputs, _split_mutable(variables)
 
     return Task(
         apply=apply,

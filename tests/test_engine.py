@@ -500,3 +500,45 @@ def test_checkpoint_epoch_retention_survives_resume(small_data, tmp_path):
     assert sorted(
         d for d in os.listdir(tmp_path) if d.startswith("epoch")
     ) == ["epoch3", "epoch4"]
+
+
+def test_cleanup_survives_exception_in_fit(small_data, mesh8):
+    """debug_nans scope and the SIGTERM handler must be restored even
+    when the epoch loop dies (round-3 review finding: the cleanup was
+    not in a finally, so a FloatingPointError from the very trap
+    debug_nans arms would leak a globally-True jax_debug_nans into
+    every later fit in the process, and leave a dead SIGTERM handler
+    installed)."""
+    import signal as _signal
+
+    before_nans = bool(jax.config.jax_debug_nans)
+    before_handler = _signal.getsignal(_signal.SIGTERM)
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=2, patience=10, debug_nans=True
+    )
+    model, tx, state = _signal_setup(cfg)
+    base_task = make_signal_task(model, cfg)
+
+    def exploding_loss(outputs, batch):
+        raise RuntimeError("boom mid-epoch")
+
+    task = dataclasses.replace(base_task, loss=exploding_loss)
+    with pytest.raises(RuntimeError, match="boom"):
+        engine.fit(
+            task, state, tx, small_data.train, small_data.val, cfg,
+            mesh=mesh8, verbose=False,
+        )
+    assert bool(jax.config.jax_debug_nans) == before_nans
+    assert _signal.getsignal(_signal.SIGTERM) is before_handler
+
+
+def test_eval_tail_batch_is_padded_to_full_batch(small_data, mesh8):
+    """iterate_batches must pad the ragged tail to the FULL batch size
+    (one static shape ⇒ one compile of any jitted consumer — a second
+    trace costs 30-250 s on the relayed TPU; round-3 review finding)."""
+    batches = list(pipeline.iterate_batches(
+        small_data.test, 24, shuffle=False, seed=0, mesh=mesh8
+    ))
+    shapes = {b.labels.shape[0] for b in batches}
+    assert shapes == {24}, shapes
+    assert sum(int(b.mask.sum()) for b in batches) == small_data.test.n
