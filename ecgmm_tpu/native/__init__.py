@@ -17,7 +17,10 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "preprocess.cpp")
+_SRCS = [
+    os.path.join(_HERE, "preprocess.cpp"),
+    os.path.join(_HERE, "digitize.cpp"),
+]
 _LIB = os.path.join(_HERE, "_libecgmm_native.so")
 
 _lock = threading.Lock()
@@ -38,14 +41,15 @@ def _build() -> Optional[str]:
     fp = _host_fingerprint()
     if (
         os.path.exists(_LIB)
-        and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        and os.path.getmtime(_LIB)
+        >= max(os.path.getmtime(s) for s in _SRCS)
         and os.path.exists(fp_path)
         and open(fp_path).read() == fp
     ):
         return None
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", _SRC, "-o", _LIB,
+        "-pthread", *_SRCS, "-o", _LIB,
     ]
     try:
         proc = subprocess.run(
@@ -83,6 +87,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ecgmm_preprocess_hospital.argtypes = [
             c_d, c_d, c_d, ctypes.c_int, ctypes.c_int, c_d, c_d,
             ctypes.c_int64, ctypes.c_int64,
+        ]
+        c_f = ctypes.POINTER(ctypes.c_float)
+        c_u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.ecgmm_digitize_darkness.argtypes = [
+            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, c_f, c_f,
+        ]
+        lib.ecgmm_trace_sums.argtypes = [
+            c_f, ctypes.c_int64, ctypes.c_int64, c_f, c_d, c_d,
+        ]
+        lib.ecgmm_colmax.argtypes = [
+            c_f, ctypes.c_int64, ctypes.c_int64, c_f,
         ]
         _lib = lib
         return _lib
@@ -142,6 +158,87 @@ def filtfilt(filt, x: np.ndarray) -> np.ndarray:
         x2.shape[0], x2.shape[1],
     )
     return out.reshape(shape)
+
+
+def _fptr(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8ptr(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def darkness_map(
+    image: np.ndarray, bg_window: int = 25
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Fused serve/digitize.py darkness_map + per-column maxima for a
+    uint8 photo: returns (rel [h, w] float32, col_max [w] float32). The
+    rel map is bit-exact against the numpy implementation (same float32
+    expressions; max is order-free). Raises when the native engine is
+    unavailable or the image dtype/shape is unsupported — callers fall
+    back to numpy."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    raw = np.asarray(image)
+    if raw.dtype != np.uint8 or raw.ndim not in (2, 3):
+        raise TypeError(f"expected uint8 2-D/3-D image, got {raw.dtype}")
+    if raw.ndim == 3:
+        # numpy path reduces over the first 3 channels only (RGB[A])
+        raw = raw[..., :3]
+        c = raw.shape[-1]
+        if c == 2:
+            raise TypeError("2-channel images unsupported")
+    else:
+        c = 1
+    raw = np.ascontiguousarray(raw)
+    h, w = raw.shape[0], raw.shape[1]
+    rel = np.empty((h, w), np.float32)
+    col_max = np.empty((w,), np.float32)
+    lib.ecgmm_digitize_darkness(
+        _u8ptr(raw), h, w, c, bg_window, _fptr(rel), _fptr(col_max)
+    )
+    return rel, col_max
+
+
+def trace_centroid(
+    rel: np.ndarray,
+    col_frac: float,
+    floor: float,
+    col_max: Optional[np.ndarray] = None,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """serve/digitize.py extract_trace core over a precomputed darkness
+    map: returns (centroid [w] float32, valid [w] bool). The per-column
+    ink threshold and the valid mask are computed HERE with numpy (same
+    float32 promotion as the pure-numpy path, so the inclusion set and
+    mask are bit-identical); only the h×w weighted-sum sweep runs in
+    C++ (float64 accumulation vs numpy's pairwise float32 — centroids
+    agree to ~1e-4 px)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    rel = np.ascontiguousarray(rel, np.float32)
+    h, w = rel.shape
+    if col_max is None:
+        col_max = np.empty((w,), np.float32)
+        lib.ecgmm_colmax(_fptr(rel), h, w, _fptr(col_max))
+    else:
+        col_max = np.ascontiguousarray(col_max, np.float32)
+    # numpy-semantics threshold (float32 weak promotion), as in
+    # serve/digitize.py extract_trace
+    thr = np.ascontiguousarray(
+        np.maximum(floor, col_frac * col_max), np.float32
+    )
+    wsum = np.empty((w,), np.float64)
+    wrow = np.empty((w,), np.float64)
+    lib.ecgmm_trace_sums(
+        _fptr(rel), h, w, _fptr(thr), _ptr(wsum), _ptr(wrow)
+    )
+    valid = (col_max >= floor) & (wsum > 0)
+    centroid = np.where(
+        valid, wrow / np.maximum(wsum, 1e-6), 0.0
+    ).astype(np.float32)
+    return centroid, valid
 
 
 def preprocess_hospital(x: np.ndarray, window: int = 200) -> np.ndarray:

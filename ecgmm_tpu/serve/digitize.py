@@ -49,9 +49,29 @@ anywhere in the reference (SURVEY.md §0); this implements it for the known
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def _native():
+    """The native digitizer kernels (ecgmm_tpu/native/digitize.cpp), or
+    None — every use falls back to the numpy implementation in this
+    module. The C++ passes are fused, multithreaded and run with the
+    GIL released, so concurrent serving requests stop serializing on
+    the digitizer (the numpy path holds the GIL across its many small
+    ops). `ECGMM_NO_NATIVE_DIGITIZE=1` forces the numpy path."""
+    if os.environ.get("ECGMM_NO_NATIVE_DIGITIZE"):
+        return None
+    try:
+        from ecgmm_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
 
 
 class NoTraceError(ValueError):
@@ -106,8 +126,18 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     bright border reads as ink. The channel max runs on uint8 via
     pairwise np.maximum (a float conversion or an axis-reduce over the
     interleaved RGB layout each cost more than everything else in the
-    digitizer combined)."""
+    digitizer combined).
+
+    Dispatches to the native C++ kernel when available (bit-exact, GIL
+    released, threaded — see `_native`)."""
     raw = np.asarray(image)
+    nat = _native()
+    if (
+        nat is not None
+        and raw.dtype == np.uint8
+        and (raw.ndim == 2 or (raw.ndim == 3 and raw.shape[-1] >= 3))
+    ):
+        return nat.darkness_map(raw, bg_window)[0]
     if raw.ndim == 2:  # already grayscale
         bright_u8 = raw
     else:
@@ -511,12 +541,30 @@ def extract_trace(
     on a trace-free/blank photo still never qualifies.
 
     `rel` reuses a precomputed `darkness_map(image)` (the digitizer's
-    most expensive pass) when the caller already has one."""
+    most expensive pass) when the caller already has one.
+
+    Dispatches to the native C++ kernels when available (valid mask
+    threshold-bit-exact — the ink-floor percentile stays in numpy here
+    — centroid within float-accumulation tolerance; GIL released,
+    threaded — see `_native`)."""
+    nat = _native()
+    col_max = None
     if rel is None:
-        rel = darkness_map(image)
-    h, w = rel.shape
-    col_max = rel.max(axis=0)
+        raw = np.asarray(image)
+        if (
+            nat is not None
+            and raw.dtype == np.uint8
+            and (raw.ndim == 2 or (raw.ndim == 3 and raw.shape[-1] >= 3))
+        ):
+            rel, col_max = nat.darkness_map(raw)
+        else:
+            rel = darkness_map(image)
+    if col_max is None:
+        col_max = rel.max(axis=0)
     floor = max(abs_floor, 0.4 * float(np.percentile(col_max, 90)))
+    if nat is not None:
+        return nat.trace_centroid(rel, col_frac, floor, col_max)
+    h, w = rel.shape
     threshold = np.maximum(floor, col_frac * col_max)[None, :]
     weights = np.where(rel >= threshold, rel, 0.0)
     colsum = weights.sum(axis=0)
