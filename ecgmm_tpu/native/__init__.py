@@ -100,6 +100,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ecgmm_colmax.argtypes = [
             c_f, ctypes.c_int64, ctypes.c_int64, c_f,
         ]
+        lib.ecgmm_gridness.argtypes = [
+            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, c_f, c_u8,
+        ]
         _lib = lib
         return _lib
 
@@ -239,6 +243,34 @@ def trace_centroid(
         valid, wrow / np.maximum(wsum, 1e-6), 0.0
     ).astype(np.float32)
     return centroid, valid
+
+
+def gridness(
+    image: np.ndarray, pool: int = 1, bg_window: int = 32
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Fused serve/digitize.py gridness computation for a uint8 RGB[A]
+    photo: returns (gridness float32 [h//pool, w//pool], pooled
+    brightness uint8 of the same shape). Bit-exact against the numpy
+    `_gridness_core` path (same float32 expressions; max/min pooling is
+    order-free). `pool` is 1 (full resolution, = `gridness_map`) or 2
+    (the `_grid_analysis` location-grade path)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    raw = np.asarray(image)
+    if raw.dtype != np.uint8 or raw.ndim != 3 or raw.shape[-1] < 3:
+        raise TypeError(
+            f"expected uint8 RGB image, got {raw.dtype} ndim={raw.ndim}"
+        )
+    raw = np.ascontiguousarray(raw[..., :4])
+    h, w, c = raw.shape
+    hp, wp = h // pool, w // pool
+    g = np.empty((hp, wp), np.float32)
+    bright = np.empty((hp, wp), np.uint8)
+    lib.ecgmm_gridness(
+        _u8ptr(raw), h, w, c, pool, bg_window, _fptr(g), _u8ptr(bright)
+    )
+    return g, bright
 
 
 def preprocess_hospital(x: np.ndarray, window: int = 200) -> np.ndarray:

@@ -71,11 +71,17 @@ void channel_max_rows(const uint8_t* img, int64_t w, int c, int64_t r0,
   for (int64_t i = r0; i < r1; ++i) {
     const uint8_t* row = img + i * w * c;
     uint8_t* out = bright + i * w;
-    for (int64_t j = 0; j < w; ++j) {
-      const uint8_t* px = row + j * c;
-      uint8_t m = px[0];
-      for (int k = 1; k < c; ++k) m = std::max(m, px[k]);
-      out[j] = m;
+    if (c == 3) {  // the common case; fixed stride vectorizes
+      for (int64_t j = 0; j < w; ++j)
+        out[j] = std::max(std::max(row[3 * j], row[3 * j + 1]),
+                          row[3 * j + 2]);
+    } else {
+      for (int64_t j = 0; j < w; ++j) {
+        const uint8_t* px = row + j * c;
+        uint8_t m = px[0];
+        for (int k = 1; k < c; ++k) m = std::max(m, px[k]);
+        out[j] = m;
+      }
     }
   }
 }
@@ -161,12 +167,20 @@ void ecgmm_digitize_darkness(const uint8_t* img, int64_t h, int64_t w,
         const float* prow = closed.data() + (i / period) * cw;
         const uint8_t* brow = bright.data() + i * w;
         float* orow = rel + i * w;
-        for (int64_t j = 0; j < w; ++j) {
-          float paper = prow[j / period];
-          float r = (paper - static_cast<float>(brow[j])) / paper;
-          r = std::min(1.0f, std::max(0.0f, r));
-          orow[j] = r;
-          cmax[j] = std::max(cmax[j], r);
+        // one closing cell spans `period` columns — hoist the paper
+        // value and reciprocal per cell so the inner loop is a flat
+        // fused multiply/clamp the compiler can vectorize
+        // (true division, not reciprocal-multiply: the rel map is
+        // bit-exact against numpy's float32 `(paper - bright) / paper`)
+        for (int64_t jb = 0; jb < w; jb += period) {
+          const float paper = prow[jb / period];
+          const int64_t je = std::min(w, jb + period);
+          for (int64_t j = jb; j < je; ++j) {
+            float r = (paper - static_cast<float>(brow[j])) / paper;
+            r = std::min(1.0f, std::max(0.0f, r));
+            orow[j] = r;
+            cmax[j] = std::max(cmax[j], r);
+          }
         }
       }
     });
@@ -207,6 +221,115 @@ void ecgmm_trace_sums(const float* rel, int64_t h, int64_t w,
         if (v >= thr[c0 + j]) {
           ws[j] += static_cast<double>(v);
           wr[j] += di * static_cast<double>(v);
+        }
+      }
+    }
+  });
+}
+
+// Fused gridness map (digitize.py _grid_analysis / gridness_map): from
+// a uint8 RGB[A] image, compute — optionally 2x2-max-pooled — redness
+// (R - max(G, B), int16) and brightness (max channel) maps, then the
+// local-contrast gridness
+//   g        = max(redness, 0) as float32
+//   base     = bg_window-tile block MIN of g, upsampled
+//   contrast = max(g - base, 0)
+//   paper    = grayscale closing of brightness (block max, 2x2 block
+//              min), clamped >= 1
+//   out      = 255 * contrast / paper
+// bit-exactly as the numpy path evaluates it (same float32 ops; the
+// pooling is a max, order-free). `pool` is 1 or 2; pooled dims are
+// floor(h/pool) x floor(w/pool) (numpy _pool2_max crops to even).
+// bright_out receives the pooled brightness for the caller's
+// paper-fallback box search.
+void ecgmm_gridness(const uint8_t* img, int64_t h, int64_t w, int c,
+                    int pool, int bg_window, float* g_out,
+                    uint8_t* bright_out) {
+  const int64_t hp = h / pool, wp = w / pool;
+  const int64_t bw = bg_window;
+  const int64_t hb = (hp + bw - 1) / bw, wb = (wp + bw - 1) / bw;
+
+  // Pass A (threaded over whole tile-rows of the pooled grid): pooled
+  // redness -> g_out, pooled brightness -> bright_out, plus per-tile
+  // block MIN of g and block MAX of brightness.
+  std::vector<float> base(static_cast<size_t>(hb) * wb, 3.4e38f);
+  std::vector<uint8_t> bmax(static_cast<size_t>(hb) * wb, 0);
+  parallel_blocks(hp, bw, [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; ++i) {
+      float* grow = g_out + i * wp;
+      uint8_t* brow = bright_out + i * wp;
+      for (int p = 0; p < pool; ++p) {
+        const uint8_t* src = img + (i * pool + p) * w * c;
+        for (int64_t j = 0; j < wp; ++j) {
+          int red = -255;
+          int bri = 0;
+          for (int q = 0; q < pool; ++q) {
+            const uint8_t* px = src + (j * pool + q) * c;
+            int r = px[0];
+            int gb = px[1];
+            for (int k = 2; k < (c < 3 ? c : 3); ++k)
+              gb = std::max(gb, static_cast<int>(px[k]));
+            red = std::max(red, r - gb);
+            bri = std::max({bri, r, gb});
+          }
+          if (p == 0) {
+            grow[j] = static_cast<float>(std::max(red, 0));
+            brow[j] = static_cast<uint8_t>(bri);
+          } else {
+            grow[j] = std::max(
+                grow[j], static_cast<float>(std::max(red, 0)));
+            brow[j] = std::max(brow[j], static_cast<uint8_t>(bri));
+          }
+        }
+      }
+      // fold this pooled row into its tile-grid row
+      const int64_t bi = i / bw;
+      float* baserow = base.data() + bi * wb;
+      uint8_t* bmaxrow = bmax.data() + bi * wb;
+      for (int64_t bj = 0; bj < wb; ++bj) {
+        int64_t j0 = bj * bw, j1 = std::min(wp, j0 + bw);
+        float mn = baserow[bj];
+        uint8_t mx = bmaxrow[bj];
+        for (int64_t j = j0; j < j1; ++j) {
+          mn = std::min(mn, grow[j]);
+          mx = std::max(mx, brow[j]);
+        }
+        baserow[bj] = mn;
+        bmaxrow[bj] = mx;
+      }
+    }
+  });
+
+  // Closing of brightness on the tiny tile grid (edge-pad, 2x2 min).
+  const int64_t ch = (hb + 1) / 2, cw = (wb + 1) / 2;
+  std::vector<float> paper(static_cast<size_t>(ch) * cw);
+  for (int64_t ci = 0; ci < ch; ++ci) {
+    int64_t i0 = 2 * ci, i1 = std::min(hb - 1, i0 + 1);
+    for (int64_t cj = 0; cj < cw; ++cj) {
+      int64_t j0 = 2 * cj, j1 = std::min(wb - 1, j0 + 1);
+      uint8_t m = std::min(
+          std::min(bmax[i0 * wb + j0], bmax[i0 * wb + j1]),
+          std::min(bmax[i1 * wb + j0], bmax[i1 * wb + j1]));
+      paper[ci * cw + cj] = std::max(static_cast<float>(m), 1.0f);
+    }
+  }
+
+  // Pass B (threaded): out = 255 * max(g - base, 0) / paper, with the
+  // per-cell constants hoisted (the numpy path evaluates
+  // `255.0f * contrast / paper` left-associatively — match it).
+  const int64_t period = 2 * bw;
+  parallel_blocks(hp, period, [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; ++i) {
+      const float* baserow = base.data() + (i / bw) * wb;
+      const float* prow = paper.data() + (i / period) * cw;
+      float* grow = g_out + i * wp;
+      for (int64_t jb = 0; jb < wp; jb += bw) {
+        const float b0 = baserow[jb / bw];
+        const float p0 = prow[jb / period];
+        const int64_t je = std::min(wp, jb + bw);
+        for (int64_t j = jb; j < je; ++j) {
+          float contrast = std::max(grow[j] - b0, 0.0f);
+          grow[j] = 255.0f * contrast / p0;
         }
       }
     }

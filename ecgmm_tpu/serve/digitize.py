@@ -172,10 +172,16 @@ def gridness_map(
     local background redness — a `bg_window`-tile block minimum, which
     lands on the paper between lines since lines are only a few px wide
     — is subtracted: only *line-like* local redness survives. Returns
-    None for grayscale images (no color → no grid signal)."""
+    None for grayscale images (no color → no grid signal).
+
+    Dispatches to the native C++ kernel when available (bit-exact, GIL
+    released, threaded — see `_native`)."""
     raw = np.asarray(image)
     if raw.ndim != 3 or raw.shape[-1] < 3:
         return None
+    nat = _native()
+    if nat is not None and raw.dtype == np.uint8:
+        return nat.gridness(raw, pool=1, bg_window=bg_window)[0]
     r = raw[..., 0]
     gb = np.maximum(raw[..., 1], raw[..., 2])
     return _gridness_core(
@@ -289,16 +295,20 @@ def _grid_analysis(raw: np.ndarray, band_px: int = 128):
         if pool:
             return None, _pool2_max(bright), 2, None
         return None, bright, 1, None
-    r = raw[..., 0]
-    gb = np.maximum(raw[..., 1], raw[..., 2])
-    redness = np.subtract(r, gb, dtype=np.int16)
-    bright = np.maximum(r, gb)
-    scale = 1
-    if pool:
-        redness, bright, scale = (
-            _pool2_max(redness), _pool2_max(bright), 2
+    scale = 2 if pool else 1
+    nat = _native()
+    if nat is not None and raw.dtype == np.uint8:
+        g, bright = nat.gridness(
+            raw, pool=scale, bg_window=max(8, 32 // scale)
         )
-    g = _gridness_core(redness, bright, max(8, 32 // scale))
+    else:
+        r = raw[..., 0]
+        gb = np.maximum(raw[..., 1], raw[..., 2])
+        redness = np.subtract(r, gb, dtype=np.int16)
+        bright = np.maximum(r, gb)
+        if pool:
+            redness, bright = _pool2_max(redness), _pool2_max(bright)
+        g = _gridness_core(redness, bright, max(8, 32 // scale))
     pitch_s = _pitch_from_bands(g, max(16, band_px // scale))
     pitch = pitch_s * scale if pitch_s is not None else None
     return g, bright, scale, pitch
@@ -360,11 +370,15 @@ def _smooth(profile: np.ndarray, w: int) -> np.ndarray:
 
 
 def _brightness(raw: np.ndarray) -> np.ndarray:
+    """Channel-max brightness. uint8 inputs stay uint8 — the only
+    consumer (`_trim_dark_borders`) takes medians, which numpy computes
+    in float64 either way, so converting up front would only add a
+    full-frame float copy."""
     if raw.ndim == 3:
-        return np.maximum(
-            np.maximum(raw[..., 0], raw[..., 1]), raw[..., 2]
-        ).astype(np.float32)
-    return raw.astype(np.float32)
+        m = np.maximum(np.maximum(raw[..., 0], raw[..., 1]), raw[..., 2])
+    else:
+        m = raw
+    return m if m.dtype == np.uint8 else m.astype(np.float32)
 
 
 def _trim_dark_borders(
@@ -383,20 +397,24 @@ def _trim_dark_borders(
     bh, bw = bright.shape
     center = bright[bh // 4: bh - bh // 4 or None,
                     bw // 4: bw - bw // 4 or None]
-    # medians over a 4×-subsampled axis: same robustness, quarter cost
+    # medians over a 4×-subsampled axis: same robustness, quarter cost.
+    # Row/column medians are evaluated LAZILY — the loops below examine
+    # only border rows/columns (usually a handful), while computing the
+    # full median profiles up front costs ~20 ms on a phone-camera
+    # frame and dominates locate_strip
     paper = float(np.median(center[::4, ::4])) or 1.0
-    row_med = np.median(bright[:, ::4], axis=1)
-    col_med = np.median(bright[::4, :], axis=0)
+    row_sub = bright[:, ::4]
+    col_sub = bright[::4, :]
     lim = 0.6 * paper
     a, b = 0, bh
-    while a < b - 16 and row_med[a] < lim:
+    while a < b - 16 and float(np.median(row_sub[a])) < lim:
         a += 1
-    while b > a + 16 and row_med[b - 1] < lim:
+    while b > a + 16 and float(np.median(row_sub[b - 1])) < lim:
         b -= 1
     c, d = 0, bw
-    while c < d - 16 and col_med[c] < lim:
+    while c < d - 16 and float(np.median(col_sub[:, c])) < lim:
         c += 1
-    while d > c + 16 and col_med[d - 1] < lim:
+    while d > c + 16 and float(np.median(col_sub[:, d - 1])) < lim:
         d -= 1
     return y0 + a, y0 + b, x0 + c, x0 + d
 

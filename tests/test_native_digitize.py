@@ -103,6 +103,51 @@ def test_digitize_end_to_end_identical_signal(rng):
     np.testing.assert_allclose(sig_np, sig_nat, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [(1250, 1900, 3), (250, 2500, 3), (300, 400, 4), (131, 257, 3),
+     (97, 64, 3)],
+    ids=["scene", "strip", "rgba", "odd", "small-unpooled"],
+)
+def test_gridness_bit_exact(rng, shape):
+    """gridness_map (full-res) and _grid_analysis (2x2-pooled) both
+    dispatch to the fused native kernel — maps must be bit-identical
+    and the detected pitch identical."""
+    import unittest.mock as mock
+
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    with mock.patch.object(dg, "_native", return_value=None):
+        g_np = dg.gridness_map(img)
+        ga_np = dg._grid_analysis(img)
+    g_nat = dg.gridness_map(img)
+    ga_nat = dg._grid_analysis(img)
+    np.testing.assert_array_equal(g_np, g_nat)
+    np.testing.assert_array_equal(ga_np[0], ga_nat[0])
+    np.testing.assert_array_equal(ga_np[1], ga_nat[1])
+    assert ga_np[2] == ga_nat[2]
+    assert (ga_np[3] is None) == (ga_nat[3] is None)
+    if ga_np[3] is not None:
+        assert abs(ga_np[3] - ga_nat[3]) < 1e-9
+
+
+def test_locate_strip_identical_boxes(rng):
+    """Strip location (grid cue + dark-border trim) must pick the same
+    box with and without the native kernels."""
+    import unittest.mock as mock
+
+    strip = _render_strip(rng)
+    dark = np.full((600, 2800, 3), 35, np.uint8)
+    dark[150:400, 150:2650] = strip
+    scene = np.clip(
+        rng.normal(170, 30, (900, 2700, 3)), 0, 255
+    ).astype(np.uint8)
+    scene[300:550, 100:2600] = strip
+    for img in [strip, dark, scene]:
+        with mock.patch.object(dg, "_native", return_value=None):
+            box_np = dg.locate_strip(img)
+        assert box_np == dg.locate_strip(img)
+
+
 def test_env_kill_switch(rng, monkeypatch):
     monkeypatch.setenv("ECGMM_NO_NATIVE_DIGITIZE", "1")
     assert dg._native() is None
