@@ -20,6 +20,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_HERE, "preprocess.cpp"),
     os.path.join(_HERE, "digitize.cpp"),
+    os.path.join(_HERE, "heatmap.cpp"),
 ]
 _LIB = os.path.join(_HERE, "_libecgmm_native.so")
 
@@ -49,7 +50,7 @@ def _build() -> Optional[str]:
         return None
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", *_SRCS, "-o", _LIB,
+        "-pthread", *_SRCS, "-o", _LIB, "-lz",
     ]
     try:
         proc = subprocess.run(
@@ -104,6 +105,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, c_f, c_u8,
         ]
+        lib.ecgmm_cam_overlay.argtypes = [
+            c_u8, ctypes.c_int64, ctypes.c_int64, c_f, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, ctypes.c_float, c_u8, c_u8,
+        ]
+        lib.ecgmm_png_encode_sub.argtypes = [
+            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ecgmm_png_encode_sub.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -294,3 +304,64 @@ def preprocess_hospital(x: np.ndarray, window: int = 200) -> np.ndarray:
         x2.shape[0], x2.shape[1],
     )
     return out.reshape(shape)
+
+
+def cam_overlay(
+    image_u8: np.ndarray, cam: np.ndarray, lut: np.ndarray,
+    alpha: float = 0.4,
+) -> np.ndarray:
+    """Fused CAM bilinear-upsample (PIL triangle-filter convention) +
+    jet-LUT alpha blend (heatmap.cpp ecgmm_cam_overlay). Bit-identical to
+    Image.fromarray(cam,"F").resize(BILINEAR) followed by
+    explain.gradcam.overlay_heatmap; GIL released for the call.
+
+    image_u8: (H, W, 3) uint8; cam: (ch, cw) float; lut: (256, 3) uint8.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    img = np.ascontiguousarray(image_u8, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"image must be (H, W, 3) uint8, got {img.shape}")
+    cam2 = np.ascontiguousarray(cam, np.float32)
+    if cam2.ndim != 2:
+        raise ValueError(f"cam must be 2-D, got shape {np.shape(cam)}")
+    lut2 = np.ascontiguousarray(lut, np.uint8)
+    if lut2.shape != (256, 3):
+        raise ValueError(f"lut must be (256, 3) uint8, got {lut2.shape}")
+    h, w = img.shape[:2]
+    out = np.empty_like(img)
+    # match numpy's scalar handling: (1 - alpha) is computed in Python
+    # double, then rounded ONCE to float32 when it meets the float32 array
+    lib.ecgmm_cam_overlay(
+        _u8ptr(img), h, w, _fptr(cam2), cam2.shape[0], cam2.shape[1],
+        ctypes.c_float(float(alpha)), ctypes.c_float(1.0 - float(alpha)),
+        _u8ptr(lut2), _u8ptr(out),
+    )
+    return out
+
+
+def png_encode(rgb: np.ndarray, level: int = 1) -> bytes:
+    """RGB8 PNG encode with per-row Sub filtering and band-parallel
+    deflate (heatmap.cpp ecgmm_png_encode_sub). Any decoder sees one
+    normal IDAT stream; GIL released for the call."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    img = np.ascontiguousarray(rgb, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"rgb must be (H, W, 3) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    raw = h * (1 + 3 * w)
+    # deflateBound-style worst case per band (stored blocks + flush
+    # markers) plus fixed chunk overhead
+    cap = raw + raw // 8 + 8 * 1024
+    out = np.empty(cap, np.uint8)
+    out_len = ctypes.c_int64(0)
+    rc = lib.ecgmm_png_encode_sub(
+        _u8ptr(img), h, w, int(level), _u8ptr(out), cap,
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native PNG encode failed (rc={rc})")
+    return out[: out_len.value].tobytes()

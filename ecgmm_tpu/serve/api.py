@@ -37,13 +37,35 @@ import numpy as np
 from ecgmm_tpu.config import ModelConfig
 from ecgmm_tpu.data import preprocess
 from ecgmm_tpu.serve import batching
-from ecgmm_tpu.explain.gradcam import overlay_heatmap
+from ecgmm_tpu.explain.gradcam import _jet_lut, overlay_heatmap
 from ecgmm_tpu.explain.shap_fusion import modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
 from ecgmm_tpu.serve import digitize as digitize_mod
 from ecgmm_tpu.serve.report import rule_based_report
 
 ENDPOINT = "/api/public/upload-ecgImage-lead2only"
+
+
+def _native_heatmap():
+    """The native overlay/PNG kernels (ecgmm_tpu/native/heatmap.cpp), or
+    None — the PIL/numpy path below remains the fallback. The C++ render
+    fuses the CAM bilinear upsample with the jet blend (bit-identical to
+    the fallback, tests/test_native_heatmap.py) and encodes the PNG with
+    band-parallel deflate, all with the GIL released, so concurrent
+    requests stop serializing on the heatmap the way they used to on the
+    digitizer. `ECGMM_NO_NATIVE_HEATMAP=1` forces the PIL path."""
+    import os
+
+    if os.environ.get("ECGMM_NO_NATIVE_HEATMAP"):
+        return None
+    try:
+        from ecgmm_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        return None
+    return None
 
 
 def _sex_from_questionnaire(q: Dict) -> Optional[str]:
@@ -745,22 +767,31 @@ class ServingPipeline:
         if heatmap_format == "cam":
             heatmap_cam = cam_small.tolist()
         else:
-            cam_full = np.asarray(
-                Image.fromarray(cam_small, mode="F").resize(
-                    (image_u8.shape[1], image_u8.shape[0]),
-                    Image.Resampling.BILINEAR,
+            nat = _native_heatmap()
+            if nat is not None:
+                overlay = nat.cam_overlay(image_u8, cam_small, _jet_lut())
+            else:
+                cam_full = np.asarray(
+                    Image.fromarray(cam_small, mode="F").resize(
+                        (image_u8.shape[1], image_u8.shape[0]),
+                        Image.Resampling.BILINEAR,
+                    )
                 )
-            )
-            overlay = overlay_heatmap(image_u8, cam_full)
-            buf = io.BytesIO()
+                overlay = overlay_heatmap(image_u8, cam_full)
             if heatmap_format == "jpeg":
+                buf = io.BytesIO()
                 Image.fromarray(overlay).save(buf, format="JPEG", quality=85)
                 heatmap_mime = "image/jpeg"
+                png_bytes = buf.getvalue()
+            elif nat is not None:
+                png_bytes = nat.png_encode(overlay, level=1)
             else:
+                buf = io.BytesIO()
                 Image.fromarray(overlay).save(
                     buf, format="PNG", compress_level=1
                 )
-            heatmap_b64 = base64.b64encode(buf.getvalue()).decode()
+                png_bytes = buf.getvalue()
+            heatmap_b64 = base64.b64encode(png_bytes).decode()
 
         contrib = modality_contributions(np.asarray(attr), self.dims)
         clin_pct = float(contrib["Clinical_%"][0])
