@@ -28,6 +28,7 @@ import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -201,6 +202,8 @@ class ServingPipeline:
         self._pack_lock = threading.Lock()
         self._packed_fn = None
         self._packed_many_fn = None
+        self._packed_many_sharded = None
+        self._serve_n_data = 1
         self._out_shapes = None
 
     # -- single-readback output packing ---------------------------------
@@ -232,9 +235,41 @@ class ServingPipeline:
 
             self._packed_fn = packed
 
-    def _batched_packed_fn(self):
+    def _batched_packed_fn(self, mesh=None):
         """The per-row-packed batched program, built once and cached so
-        re-enabling batching never retraces/recompiles the buckets."""
+        re-enabling batching never retraces/recompiles the buckets.
+
+        With a mesh, the batch axis of every bucketed dispatch is sharded
+        across the mesh's `data` axis (GSPMD replicates the closed-over
+        weights): one coalesced dispatch then runs on n_data chips at
+        once, multiplying device-side serving capacity the same way it
+        does in training. Requests are per-sample independent (the
+        batched program is a vmap), so no collectives are inserted and
+        the sharded outputs equal the single-device ones."""
+        if mesh is not None:
+            cached = self._packed_many_sharded
+            if cached is not None and cached[0] is mesh:
+                return cached[1]
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            base_many = self._predict_many
+            row = NamedSharding(mesh, PartitionSpec("data"))
+
+            @partial(
+                jax.jit,
+                in_shardings=(row, row, row),
+                out_shardings=(row,),
+            )
+            def packed_many_sharded(img, sig, clin):
+                return (
+                    _pack_outputs(
+                        base_many(img, sig, clin), batched=True
+                    ),
+                )
+
+            with self._pack_lock:
+                self._packed_many_sharded = (mesh, packed_many_sharded)
+            return packed_many_sharded
         if self._packed_many_fn is None:
             with self._pack_lock:
                 if self._packed_many_fn is None:
@@ -274,6 +309,7 @@ class ServingPipeline:
         b = self._batcher
         if b is not None:
             out["batching"] = b.stats()
+            out["batching"]["n_data"] = self._serve_n_data
         return out
 
     def _build_jitted(self):
@@ -561,10 +597,17 @@ class ServingPipeline:
         window_ms: float = 4.0,
         max_batch: Optional[int] = None,
         buckets: Optional[Tuple[int, ...]] = None,
+        n_data: int = 1,
     ) -> None:
         """Coalesce concurrent predict() calls into single bucketed
         vmapped dispatches (serve/batching.py). For AOT pipelines the
-        bundle must have been exported with batch_buckets."""
+        bundle must have been exported with batch_buckets.
+
+        n_data > 1 additionally shards each dispatch's batch axis over
+        the first n_data visible devices (a 1-D `data` jax.sharding.Mesh)
+        — data-parallel serving: n_data chips answer one coalesced
+        dispatch together. Requires a live model (an AOT bundle is a
+        fixed single-device program) and buckets divisible by n_data."""
         from ecgmm_tpu.serve.batching import MicroBatcher
 
         if self._predict_many is None:
@@ -576,8 +619,29 @@ class ServingPipeline:
                     "export the bundle with batch_buckets=(8,) (or more "
                     "buckets) to serve batched from AOT"
                 )
+        if n_data < 1:
+            raise ValueError(f"n_data must be >= 1, got {n_data}")
+        mesh = None
+        if n_data > 1:
+            if self.model is None:
+                raise ValueError(
+                    "mesh serving (n_data > 1) needs a live model — an "
+                    "AOT bundle is a fixed single-device program"
+                )
+            devices = jax.devices()
+            if n_data > len(devices):
+                raise ValueError(
+                    f"n_data={n_data} exceeds the {len(devices)} visible "
+                    "device(s)"
+                )
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(devices[:n_data]), ("data",))
         if buckets is None:
-            buckets = self._exported_buckets or (1, 2, 4, 8)
+            if n_data > 1:
+                buckets = tuple(n_data * b for b in (1, 2, 4, 8))
+            else:
+                buckets = self._exported_buckets or (1, 2, 4, 8)
         if self._exported_buckets is not None and not (
             set(buckets) <= set(self._exported_buckets)
         ):
@@ -585,6 +649,14 @@ class ServingPipeline:
                 f"requested batch buckets {buckets} not all exported "
                 f"(bundle has {self._exported_buckets})"
             )
+        if mesh is not None:
+            bad = tuple(b for b in buckets if b % n_data)
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} not divisible by "
+                    f"n_data={n_data} — each device must take an equal "
+                    "slice of every bucketed dispatch"
+                )
         if max_batch is None:
             max_batch = max(buckets)
         # construct (and validate) the new batcher BEFORE tearing down a
@@ -592,16 +664,18 @@ class ServingPipeline:
         # the batcher's device program packs each sample's outputs into
         # one row, so a whole dispatch costs a single device→host fetch
         new = MicroBatcher(
-            self._batched_packed_fn(), window_ms=window_ms,
+            self._batched_packed_fn(mesh), window_ms=window_ms,
             max_batch=max_batch, buckets=buckets,
         )
         self.close_batching()
         self._batcher = new
+        self._serve_n_data = n_data
 
     def close_batching(self) -> None:
         if self._batcher is not None:
             self._batcher.close()
             self._batcher = None
+        self._serve_n_data = 1
 
     def warmup_batched(self) -> None:
         """Compile every batch bucket's (packed) program up front."""
@@ -986,6 +1060,11 @@ def main(argv=None):
                    help="largest batch bucket to serve; rounded DOWN to "
                         "the nearest available bucket (powers of two for "
                         "live pipelines, the exported set for bundles)")
+    p.add_argument("--n-data", type=int, default=1,
+                   help="shard each batched dispatch's batch axis over "
+                        "the first N visible devices (data-parallel "
+                        "serving; needs --batch-window-ms > 0 and a live "
+                        "model, not a --bundle)")
     args = p.parse_args(argv)
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
@@ -993,13 +1072,22 @@ def main(argv=None):
         ServingPipeline.from_exported(args.bundle)
         if args.bundle else ServingPipeline.demo()
     )
+    if args.n_data > 1 and args.batch_window_ms <= 0:
+        p.error("--n-data > 1 needs --batch-window-ms > 0 (mesh serving "
+                "shards the BATCHED dispatches)")
+    if args.n_data > 1 and args.bundle:
+        p.error("--n-data > 1 needs a live model — an AOT bundle is a "
+                "fixed single-device program")
     if args.batch_window_ms > 0:
         if args.bundle and pipeline._exported_buckets is None:
             p.error(
                 "bundle was exported without batch_buckets; re-export "
                 "with --batch-buckets to serve batched"
             )
-        available = pipeline._exported_buckets or (1, 2, 4, 8, 16)
+        if args.n_data > 1:
+            available = tuple(args.n_data * b for b in (1, 2, 4, 8, 16))
+        else:
+            available = pipeline._exported_buckets or (1, 2, 4, 8, 16)
         buckets = tuple(b for b in available if b <= args.max_batch)
         if not buckets:
             p.error(
@@ -1007,7 +1095,8 @@ def main(argv=None):
                 f"available batch buckets {available}"
             )
         pipeline.enable_batching(
-            args.batch_window_ms, max_batch=max(buckets), buckets=buckets
+            args.batch_window_ms, max_batch=max(buckets), buckets=buckets,
+            n_data=args.n_data,
         )
     if not args.no_warmup:
         print("warming up (compiling the request path)…")
