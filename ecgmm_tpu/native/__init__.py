@@ -17,20 +17,26 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [
+# Two independent libraries: the core engine (preprocessing + digitizer,
+# no external deps beyond libc) and the heatmap kernels (need zlib for
+# the PNG writer). A host without zlib dev files loses ONLY the native
+# heatmap path — the previously working preprocess/digitize kernels keep
+# building and loading.
+_CORE_SRCS = [
     os.path.join(_HERE, "preprocess.cpp"),
     os.path.join(_HERE, "digitize.cpp"),
-    os.path.join(_HERE, "heatmap.cpp"),
 ]
-_LIB = os.path.join(_HERE, "_libecgmm_native.so")
+_HEATMAP_SRCS = [os.path.join(_HERE, "heatmap.cpp")]
+_CORE_LIB = os.path.join(_HERE, "_libecgmm_native.so")
+_HEATMAP_LIB = os.path.join(_HERE, "_libecgmm_heatmap.so")
 
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_error: Optional[str] = None
+_libs: "dict[str, Optional[ctypes.CDLL]]" = {}
+_build_errors: "dict[str, str]" = {}
 
 
-def _build() -> Optional[str]:
-    """Compile the shared library if stale. Returns an error message or
+def _build(srcs, lib_path, extra_flags=()) -> Optional[str]:
+    """Compile a shared library if stale. Returns an error message or
     None. Freshness requires BOTH a newer-than-source mtime AND a
     matching host-CPU fingerprint sidecar: the build uses -march=native,
     so a .so produced on another machine can contain instructions this
@@ -38,19 +44,19 @@ def _build() -> Optional[str]:
     against)."""
     from ecgmm_tpu.utils.cache import _host_fingerprint
 
-    fp_path = _LIB + ".host"
+    fp_path = lib_path + ".host"
     fp = _host_fingerprint()
     if (
-        os.path.exists(_LIB)
-        and os.path.getmtime(_LIB)
-        >= max(os.path.getmtime(s) for s in _SRCS)
+        os.path.exists(lib_path)
+        and os.path.getmtime(lib_path)
+        >= max(os.path.getmtime(s) for s in srcs)
         and os.path.exists(fp_path)
         and open(fp_path).read() == fp
     ):
         return None
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", *_SRCS, "-o", _LIB, "-lz",
+        "-pthread", *srcs, "-o", lib_path, *extra_flags,
     ]
     try:
         proc = subprocess.run(
@@ -65,61 +71,97 @@ def _build() -> Optional[str]:
     return None
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    """The loaded library, or None when unavailable (error cached)."""
-    global _lib, _build_error
+def _load(key: str) -> Optional[ctypes.CDLL]:
+    """Build+load one of the two libraries, caching result or error."""
     with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_error is not None:
+        if key in _libs:
+            return _libs[key]
+        if key in _build_errors:
             return None
-        _build_error = _build()
-        if _build_error is not None:
+        if key == "core":
+            err = _build(_CORE_SRCS, _CORE_LIB)
+        else:
+            err = _build(_HEATMAP_SRCS, _HEATMAP_LIB, ("-lz",))
+        if err is not None:
+            _build_errors[key] = err
             return None
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(_CORE_LIB if key == "core" else _HEATMAP_LIB)
         c_d = ctypes.POINTER(ctypes.c_double)
-        lib.ecgmm_remove_baseline.argtypes = [
-            c_d, c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-        ]
-        lib.ecgmm_filtfilt.argtypes = [
-            c_d, c_d, c_d, ctypes.c_int, c_d, c_d,
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.ecgmm_preprocess_hospital.argtypes = [
-            c_d, c_d, c_d, ctypes.c_int, ctypes.c_int, c_d, c_d,
-            ctypes.c_int64, ctypes.c_int64,
-        ]
         c_f = ctypes.POINTER(ctypes.c_float)
         c_u8 = ctypes.POINTER(ctypes.c_uint8)
-        lib.ecgmm_digitize_darkness.argtypes = [
-            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, c_f, c_f,
-        ]
-        lib.ecgmm_trace_sums.argtypes = [
-            c_f, ctypes.c_int64, ctypes.c_int64, c_f, c_d, c_d,
-        ]
-        lib.ecgmm_colmax.argtypes = [
-            c_f, ctypes.c_int64, ctypes.c_int64, c_f,
-        ]
-        lib.ecgmm_gridness.argtypes = [
-            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, c_f, c_u8,
-        ]
-        lib.ecgmm_cam_overlay.argtypes = [
-            c_u8, ctypes.c_int64, ctypes.c_int64, c_f, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_float, ctypes.c_float, c_u8, c_u8,
-        ]
-        lib.ecgmm_png_encode_sub.argtypes = [
-            c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.ecgmm_png_encode_sub.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+        if key == "core":
+            lib.ecgmm_remove_baseline.argtypes = [
+                c_d, c_d, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ]
+            lib.ecgmm_filtfilt.argtypes = [
+                c_d, c_d, c_d, ctypes.c_int, c_d, c_d,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.ecgmm_preprocess_hospital.argtypes = [
+                c_d, c_d, c_d, ctypes.c_int, ctypes.c_int, c_d, c_d,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.ecgmm_digitize_darkness.argtypes = [
+                c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, c_f, c_f,
+            ]
+            lib.ecgmm_trace_sums.argtypes = [
+                c_f, ctypes.c_int64, ctypes.c_int64, c_f, c_d, c_d,
+            ]
+            lib.ecgmm_colmax.argtypes = [
+                c_f, ctypes.c_int64, ctypes.c_int64, c_f,
+            ]
+            lib.ecgmm_gridness.argtypes = [
+                c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, c_f, c_u8,
+            ]
+        else:
+            lib.ecgmm_cam_overlay.argtypes = [
+                c_u8, ctypes.c_int64, ctypes.c_int64, c_f,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+                ctypes.c_float, c_u8, c_u8,
+            ]
+            lib.ecgmm_png_encode_sub.argtypes = [
+                c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                c_u8, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.ecgmm_png_encode_sub.restype = ctypes.c_int
+        _libs[key] = lib
+        return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded CORE library, or None when unavailable (error cached)."""
+    return _load("core")
+
+
+def get_heatmap_lib() -> Optional[ctypes.CDLL]:
+    """The loaded HEATMAP library (needs zlib), or None."""
+    return _load("heatmap")
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def heatmap_available() -> bool:
+    return get_heatmap_lib() is not None
+
+
+def maybe(disable_env: str, need: str = "core"):
+    """The shared gated accessor for callers with a numpy/PIL fallback:
+    this module when the `need`ed library ('core' or 'heatmap') builds
+    and the disable env var is unset, else None. One definition so the
+    dispatch helpers in serve/digitize.py and serve/api.py cannot
+    drift."""
+    if os.environ.get(disable_env):
+        return None
+    ok = heatmap_available() if need == "heatmap" else available()
+    if not ok:
+        return None
+    import sys
+
+    return sys.modules[__name__]
 
 
 def _as2d(x: np.ndarray) -> np.ndarray:
@@ -134,7 +176,9 @@ def _ptr(x: np.ndarray):
 def remove_baseline(x: np.ndarray, window: int = 200) -> np.ndarray:
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     shape = np.shape(x)
     x2 = _as2d(x)
     out = np.empty_like(x2)
@@ -159,7 +203,9 @@ def filtfilt(filt, x: np.ndarray) -> np.ndarray:
     """filt: ecgmm_tpu.data.preprocess.IIRFilter."""
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     shape = np.shape(x)
     x2 = _as2d(x)
     _check_filtfilt_len(x2.shape[1], len(filt.b))
@@ -193,7 +239,9 @@ def darkness_map(
     back to numpy."""
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     raw = np.asarray(image)
     if raw.dtype != np.uint8 or raw.ndim not in (2, 3):
         raise TypeError(f"expected uint8 2-D/3-D image, got {raw.dtype}")
@@ -230,7 +278,9 @@ def trace_centroid(
     agree to ~1e-4 px)."""
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     rel = np.ascontiguousarray(rel, np.float32)
     h, w = rel.shape
     if col_max is None:
@@ -266,7 +316,9 @@ def gridness(
     (the `_grid_analysis` location-grade path)."""
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     raw = np.asarray(image)
     if raw.dtype != np.uint8 or raw.ndim != 3 or raw.shape[-1] < 3:
         raise TypeError(
@@ -290,7 +342,9 @@ def preprocess_hospital(x: np.ndarray, window: int = 200) -> np.ndarray:
 
     lib = get_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
     filt = butter_lowpass()
     shape = np.shape(x)
     x2 = _as2d(x)
@@ -317,9 +371,11 @@ def cam_overlay(
 
     image_u8: (H, W, 3) uint8; cam: (ch, cw) float; lut: (256, 3) uint8.
     """
-    lib = get_lib()
+    lib = get_heatmap_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native heatmap unavailable: {_build_errors.get('heatmap')}"
+        )
     img = np.ascontiguousarray(image_u8, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"image must be (H, W, 3) uint8, got {img.shape}")
@@ -345,9 +401,11 @@ def png_encode(rgb: np.ndarray, level: int = 1) -> bytes:
     """RGB8 PNG encode with per-row Sub filtering and band-parallel
     deflate (heatmap.cpp ecgmm_png_encode_sub). Any decoder sees one
     normal IDAT stream; GIL released for the call."""
-    lib = get_lib()
+    lib = get_heatmap_lib()
     if lib is None:
-        raise RuntimeError(f"native engine unavailable: {_build_error}")
+        raise RuntimeError(
+            f"native heatmap unavailable: {_build_errors.get('heatmap')}"
+        )
     img = np.ascontiguousarray(rgb, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"rgb must be (H, W, 3) uint8, got {img.shape}")

@@ -55,18 +55,12 @@ def _native_heatmap():
     band-parallel deflate, all with the GIL released, so concurrent
     requests stop serializing on the heatmap the way they used to on the
     digitizer. `ECGMM_NO_NATIVE_HEATMAP=1` forces the PIL path."""
-    import os
-
-    if os.environ.get("ECGMM_NO_NATIVE_HEATMAP"):
-        return None
     try:
         from ecgmm_tpu import native
 
-        if native.available():
-            return native
+        return native.maybe("ECGMM_NO_NATIVE_HEATMAP", need="heatmap")
     except Exception:
         return None
-    return None
 
 
 def _sex_from_questionnaire(q: Dict) -> Optional[str]:
@@ -248,7 +242,11 @@ class ServingPipeline:
         the sharded outputs equal the single-device ones."""
         if mesh is not None:
             cached = self._packed_many_sharded
-            if cached is not None and cached[0] is mesh:
+            # structural equality, not identity: enable_batching builds a
+            # fresh Mesh object per call, and a re-enable with the same
+            # devices must reuse the compiled buckets (a recompile costs
+            # 30–250 s per bucket on the relayed TPU)
+            if cached is not None and cached[0] == mesh:
                 return cached[1]
             from jax.sharding import NamedSharding, PartitionSpec
 

@@ -49,7 +49,6 @@ anywhere in the reference (SURVEY.md §0); this implements it for the known
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -62,16 +61,12 @@ def _native():
     GIL released, so concurrent serving requests stop serializing on
     the digitizer (the numpy path holds the GIL across its many small
     ops). `ECGMM_NO_NATIVE_DIGITIZE=1` forces the numpy path."""
-    if os.environ.get("ECGMM_NO_NATIVE_DIGITIZE"):
-        return None
     try:
         from ecgmm_tpu import native
 
-        if native.available():
-            return native
+        return native.maybe("ECGMM_NO_NATIVE_DIGITIZE")
     except Exception:
-        pass
-    return None
+        return None
 
 
 class NoTraceError(ValueError):
@@ -184,16 +179,25 @@ def gridness_map(
         return nat.gridness(raw, pool=1, bg_window=bg_window)[0]
     r = raw[..., 0]
     gb = np.maximum(raw[..., 1], raw[..., 2])
-    return _gridness_core(
-        np.subtract(r, gb, dtype=np.int16), np.maximum(r, gb), bg_window
-    )
+    return _gridness_core(_redness_diff(r, gb), np.maximum(r, gb),
+                          bg_window)
+
+
+def _redness_diff(r: np.ndarray, gb: np.ndarray) -> np.ndarray:
+    """R − max(G, B) without overflow: int16 for uint8 channels, float32
+    for anything else. Float-decoded or normalized images must take the
+    same grid path as uint8 ones (only the native kernel is
+    uint8-only) — a dtype-pinned subtract would crash them."""
+    if r.dtype == np.uint8 and gb.dtype == np.uint8:
+        return np.subtract(r, gb, dtype=np.int16)
+    return np.asarray(r, np.float32) - np.asarray(gb, np.float32)
 
 
 def _gridness_core(
     redness: np.ndarray, bright: np.ndarray, bg_window: int
 ) -> np.ndarray:
     """Gridness from a precomputed redness difference (R − max(G,B),
-    int16) and brightness (max channel, uint8) pair — see
+    int16/float32) and brightness (max channel) pair — see
     `gridness_map` for the semantics."""
     g = np.maximum(redness, 0).astype(np.float32)
     h, wid = g.shape
@@ -304,7 +308,7 @@ def _grid_analysis(raw: np.ndarray, band_px: int = 128):
     else:
         r = raw[..., 0]
         gb = np.maximum(raw[..., 1], raw[..., 2])
-        redness = np.subtract(r, gb, dtype=np.int16)
+        redness = _redness_diff(r, gb)
         bright = np.maximum(r, gb)
         if pool:
             redness, bright = _pool2_max(redness), _pool2_max(bright)

@@ -456,11 +456,16 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                 block=True,
             )
     finally:
-        writer.close()
         # drain the async checkpoint writer before the interpreter
         # starts tearing down thread machinery — a still-flushing orbax
-        # save at exit raises "cannot schedule new futures" noise
-        ckpt.close()
+        # save at exit raises "cannot schedule new futures" noise. The
+        # drain must run even when writer.close() throws (nested
+        # finally), and an in-body exception stays primary (cleanup
+        # errors chain off it as __context__ rather than replacing it).
+        try:
+            writer.close()
+        finally:
+            ckpt.close()
     return result, results
 
 

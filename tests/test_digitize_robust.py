@@ -575,3 +575,21 @@ def test_blurred_low_contrast_trace_still_valid():
     ).astype(np.uint8)
     corr, _ = _score(digitize.digitize_lead2(blurred), sig)
     assert corr > 0.9, corr
+
+
+def test_float_dtype_image_digitizes_like_uint8():
+    """Non-uint8 images (float-decoded/normalized arrays a library
+    caller may hold) must take the same numpy grid path as uint8 photos
+    — the dtype-pinned int16 redness subtract used to raise
+    UFuncTypeError from _grid_analysis on every auto-locate call."""
+    signal, _ = _signal()
+    img = _render(signal)
+    a = digitize.digitize_lead2(img)
+    b = digitize.digitize_lead2(img.astype(np.float32))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # 0-1 normalized floats keep the grid-free darkness semantics too
+    c = digitize.digitize_lead2(img.astype(np.float32) / 255.0)
+    assert np.corrcoef(a, c)[0, 1] > 0.99
+    # the pitch estimator must not crash either (None or a float)
+    p = digitize.estimate_grid_pitch_px(img.astype(np.float64))
+    assert p is None or p > 0

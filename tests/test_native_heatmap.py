@@ -26,7 +26,7 @@ from ecgmm_tpu import native
 from ecgmm_tpu.explain.gradcam import _jet_lut, overlay_heatmap
 
 pytestmark = pytest.mark.skipif(
-    not native.available(), reason="no C++ toolchain"
+    not native.heatmap_available(), reason="no C++ toolchain or no zlib"
 )
 
 

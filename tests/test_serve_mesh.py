@@ -123,3 +123,15 @@ def test_default_buckets_scale_with_n_data():
         assert pipe._batcher._buckets == (2, 4, 8, 16)
     finally:
         pipe.close_batching()
+
+
+def test_reenable_reuses_compiled_sharded_program(pipelines):
+    """Re-enabling mesh batching with the same n_data must reuse the
+    cached jitted program (Mesh equality is structural, not identity) —
+    a recompile costs 30-250 s per bucket on the relayed TPU."""
+    _, sharded = pipelines
+    fn_before = sharded._batcher._batch_fn
+    sharded.enable_batching(
+        window_ms=120, max_batch=4, buckets=(2, 4), n_data=2
+    )
+    assert sharded._batcher._batch_fn is fn_before
