@@ -63,3 +63,33 @@ def test_native_faster_than_scipy_loop(rng):
     dt_scipy = time.perf_counter() - t0
 
     assert dt_native < dt_scipy, (dt_native, dt_scipy)
+
+
+def test_heatmap_build_failure_keeps_core_available(monkeypatch):
+    """The reason the engine ships as TWO libraries: a host that cannot
+    build the zlib-dependent heatmap kernels must keep the dep-free
+    preprocessing/digitizer kernels. Simulate the heatmap build failing
+    and assert core stays loadable while both heatmap accessors degrade
+    to their fallback signal (None)."""
+    real_build = native._build
+
+    def failing_heatmap_build(srcs, lib_path, extra_flags=()):
+        if lib_path == native._HEATMAP_LIB:
+            return "simulated: zlib not found"
+        return real_build(srcs, lib_path, extra_flags)
+
+    monkeypatch.setattr(native, "_build", failing_heatmap_build)
+    # fresh caches so the simulated failure is actually exercised,
+    # restored afterwards so other tests keep the real libraries
+    monkeypatch.setattr(native, "_libs", {})
+    monkeypatch.setattr(native, "_build_errors", {})
+
+    assert native.available()
+    assert not native.heatmap_available()
+    assert native.maybe("ECGMM_NO_NATIVE_DIGITIZE") is native
+    assert native.maybe("ECGMM_NO_NATIVE_HEATMAP", need="heatmap") is None
+    # core kernels really run
+    x = np.zeros((2, 300))
+    assert native.remove_baseline(x, 50).shape == (2, 300)
+    with pytest.raises(RuntimeError, match="zlib not found"):
+        native.png_encode(np.zeros((4, 4, 3), np.uint8))
