@@ -263,6 +263,21 @@ def darkness_map(
     return rel, col_max
 
 
+def colmax(rel: np.ndarray) -> np.ndarray:
+    """Per-column maxima of a darkness map, (w,) float32 (digitize.cpp
+    ecgmm_colmax; GIL released, threaded)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            f"native engine unavailable: {_build_errors.get('core')}"
+        )
+    rel = np.ascontiguousarray(rel, np.float32)
+    h, w = rel.shape
+    out = np.empty((w,), np.float32)
+    lib.ecgmm_colmax(_fptr(rel), h, w, _fptr(out))
+    return out
+
+
 def trace_centroid(
     rel: np.ndarray,
     col_frac: float,

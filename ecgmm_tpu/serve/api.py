@@ -1066,16 +1066,19 @@ def main(argv=None):
     args = p.parse_args(argv)
     from ecgmm_tpu.utils.cache import with_cache_recovery
 
-    pipeline = (
-        ServingPipeline.from_exported(args.bundle)
-        if args.bundle else ServingPipeline.demo()
-    )
+    # flag-combination errors must fire BEFORE the pipeline builds:
+    # demo() trains a model and from_exported() compiles — 30–250 s on
+    # the relayed TPU — and an invalid invocation should fail instantly
     if args.n_data > 1 and args.batch_window_ms <= 0:
         p.error("--n-data > 1 needs --batch-window-ms > 0 (mesh serving "
                 "shards the BATCHED dispatches)")
     if args.n_data > 1 and args.bundle:
         p.error("--n-data > 1 needs a live model — an AOT bundle is a "
                 "fixed single-device program")
+    pipeline = (
+        ServingPipeline.from_exported(args.bundle)
+        if args.bundle else ServingPipeline.demo()
+    )
     if args.batch_window_ms > 0:
         if args.bundle and pipeline._exported_buckets is None:
             p.error(

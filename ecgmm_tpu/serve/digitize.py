@@ -146,6 +146,26 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
     return np.clip(rel, 0.0, 1.0)
 
 
+def _darkness_and_colmax(
+    image: np.ndarray,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(darkness map, per-column maxima or None): the native kernel
+    computes both in its single fused pass, so callers that need the
+    column maxima (the ink veto, the trace threshold) must take them
+    from here instead of re-reducing the full frame in numpy with the
+    GIL held — on a phone photo that reduction costs ~10 ms per pass,
+    which is the cost digitize.cpp exists to remove."""
+    raw = np.asarray(image)
+    nat = _native()
+    if (
+        nat is not None
+        and raw.dtype == np.uint8
+        and (raw.ndim == 2 or (raw.ndim == 3 and raw.shape[-1] >= 3))
+    ):
+        return nat.darkness_map(raw)
+    return darkness_map(image), None
+
+
 def _block_min(values: np.ndarray, w: int) -> np.ndarray:
     """Per-tile minima over w×w tiles (mirror of `_block_max`)."""
     h, wid = values.shape
@@ -445,15 +465,21 @@ def locate_strip(
 
 def _locate_strip_impl(
     raw: np.ndarray,
-) -> Tuple[Optional[Tuple[int, int, int, int]], Optional[np.ndarray]]:
+) -> Tuple[
+    Optional[Tuple[int, int, int, int]],
+    Optional[np.ndarray],
+    Optional[np.ndarray],
+]:
     """`locate_strip` body returning (box, full-frame darkness map or
-    None). The darkness map is the digitizer's single most expensive
-    pass (see `darkness_map`); when the ink veto computed it here and
-    the box ends up covering the whole frame, `digitize_lead2_info`
-    reuses it for trace extraction instead of recomputing it."""
+    None, its per-column maxima or None). The darkness map is the
+    digitizer's single most expensive pass (see `darkness_map`); when
+    the ink veto computed it here and the box ends up covering the
+    whole frame, `digitize_lead2_info` reuses both for trace extraction
+    instead of recomputing them."""
     h, w = raw.shape[:2]
     g, bright_small, scale, pitch = _grid_analysis(raw)
     rel_full: Optional[np.ndarray] = None
+    col_max_full: Optional[np.ndarray] = None
 
     def _box_from(score: np.ndarray, frac: float, win: int):
         # thresholds are anchored at the profile's own background level
@@ -496,7 +522,7 @@ def _locate_strip_impl(
         ).astype(np.float32)
         box = _box_from(paper, 0.55, max(bright_small.shape[:2]) // 64)
     if box is None:
-        return None, rel_full
+        return None, rel_full, col_max_full
     # scale the pooled-coordinate candidate box back to full resolution
     y0, y1, x0, x1 = (
         box[0] * scale, min(h, box[1] * scale),
@@ -516,9 +542,11 @@ def _locate_strip_impl(
     # side while the dark trace survives, and cutting live trace is
     # strictly worse than keeping some background
     if x0 > 0 or x1 < w or y0 > 0 or y1 < h:
-        rel_full = darkness_map(raw)
+        rel_full, col_max_full = _darkness_and_colmax(raw)
+        if col_max_full is None:
+            col_max_full = rel_full.max(axis=0)
         if x0 > 0 or x1 < w:
-            ink_cols = rel_full.max(axis=0) >= 0.3
+            ink_cols = col_max_full >= 0.3
             outside = np.concatenate([ink_cols[:x0], ink_cols[x1:]])
             if outside.size and outside.mean() > 0.3:
                 x0, x1 = 0, w
@@ -529,8 +557,8 @@ def _locate_strip_impl(
                 y0, y1 = 0, h
     y0, y1, x0, x1 = _trim_dark_borders(raw, (y0, y1, x0, x1))
     if (y1 - y0) >= 0.95 * h and (x1 - x0) >= 0.95 * w:
-        return None, rel_full
-    return (y0, y1, x0, x1), rel_full
+        return None, rel_full, col_max_full
+    return (y0, y1, x0, x1), rel_full, col_max_full
 
 
 def extract_trace(
@@ -538,6 +566,7 @@ def extract_trace(
     col_frac: float = 0.6,
     abs_floor: float = 0.12,
     rel: Optional[np.ndarray] = None,
+    col_max: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-column trace row (float) + validity mask from an RGB uint8
     strip photo.
@@ -562,27 +591,19 @@ def extract_trace(
     maxima); `abs_floor` remains the absolute minimum, so sensor noise
     on a trace-free/blank photo still never qualifies.
 
-    `rel` reuses a precomputed `darkness_map(image)` (the digitizer's
-    most expensive pass) when the caller already has one.
+    `rel` (and optionally its per-column maxima `col_max`) reuse a
+    precomputed `darkness_map(image)` (the digitizer's most expensive
+    pass) when the caller already has one.
 
     Dispatches to the native C++ kernels when available (valid mask
     threshold-bit-exact — the ink-floor percentile stays in numpy here
     — centroid within float-accumulation tolerance; GIL released,
     threaded — see `_native`)."""
     nat = _native()
-    col_max = None
     if rel is None:
-        raw = np.asarray(image)
-        if (
-            nat is not None
-            and raw.dtype == np.uint8
-            and (raw.ndim == 2 or (raw.ndim == 3 and raw.shape[-1] >= 3))
-        ):
-            rel, col_max = nat.darkness_map(raw)
-        else:
-            rel = darkness_map(image)
+        rel, col_max = _darkness_and_colmax(image)
     if col_max is None:
-        col_max = rel.max(axis=0)
+        col_max = nat.colmax(rel) if nat is not None else rel.max(axis=0)
     floor = max(abs_floor, 0.4 * float(np.percentile(col_max, 90)))
     if nat is not None:
         return nat.trace_centroid(rel, col_frac, floor, col_max)
@@ -637,7 +658,8 @@ def rows_to_millivolts(
     """Invert (rows grow downward), centre on the median baseline, scale.
     Standard ECG paper: 10 mm/mV; the 250-px-tall reference strips span
     ~25 mm, so ≈100 px/mV by default."""
-    px_per_mv = px_per_mv or img_height * 0.4
+    if px_per_mv is None:
+        px_per_mv = img_height * 0.4
     baseline = np.median(trace_rows)
     return (baseline - trace_rows) / px_per_mv
 
@@ -695,16 +717,25 @@ def digitize_lead2_info(
     raw = np.asarray(image)
     pitch = None
     box = None
-    rel_full = None
+    rel_full = col_max_full = None
     if auto_locate:
-        box, rel_full = _locate_strip_impl(raw)
+        box, rel_full, col_max_full = _locate_strip_impl(raw)
         if box is not None:
             y0, y1, x0, x1 = box
             raw = raw[y0:y1, x0:x1]
             # the crop changes the frame (and the paper-envelope block
             # alignment); recompute darkness on the much smaller crop
-            rel_full = None
+            rel_full = col_max_full = None
     if px_per_mv is not None:
+        # reject rather than fall back: a falsy/garbage explicit scale
+        # silently replaced by the assumed geometry would be recorded
+        # as scale_source="explicit" — an audit would show calibrated
+        # voltages that are actually assumed-scale (or sign-flipped)
+        if not (np.isfinite(px_per_mv) and px_per_mv > 0):
+            raise ValueError(
+                f"px_per_mv must be a positive finite number, got "
+                f"{px_per_mv!r}; omit it to calibrate from the grid"
+            )
         scale_source = "explicit"
     else:
         # calibration-grade pitch, measured on the (cropped) strip so
@@ -717,7 +748,7 @@ def digitize_lead2_info(
             scale_source = "grid"
         else:
             scale_source = "assumed"
-    trace, valid = extract_trace(raw, rel=rel_full)
+    trace, valid = extract_trace(raw, rel=rel_full, col_max=col_max_full)
     if valid.mean() < 0.05:
         raise NoTraceError(
             f"no ECG trace found in the image (ink in "
@@ -732,7 +763,8 @@ def digitize_lead2_info(
         "scale_source": scale_source,
         "grid_pitch_px": None if pitch is None else round(float(pitch), 2),
         "px_per_mv": round(
-            float(px_per_mv or raw.shape[0] * 0.4), 2
+            float(raw.shape[0] * 0.4 if px_per_mv is None else px_per_mv),
+            2,
         ),
         "crop": None if box is None else [int(v) for v in box],
         "ink_fraction": round(float(valid.mean()), 3),

@@ -129,6 +129,13 @@ def main(argv=None):
     p.add_argument("--strict", action="store_true",
                    help="fail on the first undigitizable image")
     args = p.parse_args(argv)
+    if args.px_per_mv is not None and not (
+        np.isfinite(args.px_per_mv) and args.px_per_mv > 0
+    ):
+        # reject here once instead of per-file: digitize_lead2_info
+        # raises for every image, which non-strict mode would record as
+        # N identical per-row errors
+        p.error(f"--px-per-mv must be > 0, got {args.px_per_mv}")
 
     signals, report = digitize_directory(
         args.image_dir, target_len=args.target_len, strict=args.strict,

@@ -593,3 +593,19 @@ def test_float_dtype_image_digitizes_like_uint8():
     # the pitch estimator must not crash either (None or a float)
     p = digitize.estimate_grid_pitch_px(img.astype(np.float64))
     assert p is None or p > 0
+
+
+def test_explicit_px_per_mv_must_be_positive_finite():
+    """A falsy/garbage explicit scale must be rejected, not silently
+    replaced by the assumed-geometry fallback while the metadata still
+    claims scale_source='explicit' (and a negative scale would flip the
+    waveform sign)."""
+    signal, _ = _signal()
+    img = _render(signal)
+    for bad in (0.0, -100.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="px_per_mv"):
+            digitize.digitize_lead2(img, px_per_mv=bad)
+    # a genuine explicit scale is honored and labeled as such
+    mv, info = digitize.digitize_lead2_info(img, px_per_mv=100.0)
+    assert info["scale_source"] == "explicit"
+    assert info["px_per_mv"] == 100.0

@@ -131,8 +131,9 @@ def demo_pipeline():
 
 @pytest.fixture(scope="module")
 def server(demo_pipeline):
-    httpd = serve(demo_pipeline, port=18080, background=True)
-    yield "http://127.0.0.1:18080"
+    # ephemeral port: a fixed one collides when two suites overlap
+    httpd = serve(demo_pipeline, port=0, background=True)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
 
 

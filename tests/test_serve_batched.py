@@ -80,7 +80,9 @@ def test_batched_http_endpoint(pipelines, cohort):
     import io
 
     _, batched = pipelines
-    httpd = serve(batched, port=18085, background=True)
+    # ephemeral port: a fixed one collides when two suites overlap
+    httpd = serve(batched, port=0, background=True)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
     try:
         def post(i):
             buf = io.BytesIO()
@@ -97,7 +99,7 @@ def test_batched_http_endpoint(pipelines, cohort):
                 f"--{boundary}--".encode(),
             ]
             req = urllib.request.Request(
-                "http://127.0.0.1:18085" + ENDPOINT,
+                base + ENDPOINT,
                 data=b"\r\n".join(parts),
                 headers={"Content-Type":
                          f"multipart/form-data; boundary={boundary}"},
