@@ -52,8 +52,10 @@ def main():
     tcfg = TrainConfig(batch_size=batch_size)
     mcfg = ModelConfig()  # bf16 compute
     model = ECGMultimodalModel(cfg=mcfg)
-    variables = model.init(
-        jax.random.PRNGKey(0),
+    from ecgmm_tpu.models import jit_init
+
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
         jnp.ones((1, 224, 224, 3)), jnp.ones((1, 2476)),
         jnp.ones((1, mcfg.clinical_in_features)),
     )

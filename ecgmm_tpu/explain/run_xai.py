@@ -229,8 +229,10 @@ def main(argv=None):
     )
     data = load_data(cfg, "synthetic", args.n_synth)
     model = ECGMultimodalModel(cfg=cfg.model)
-    variables = model.init(
-        jax.random.PRNGKey(0),
+    from ecgmm_tpu.models import jit_init
+
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
         jnp.ones((1, cfg.data.img_height, cfg.data.img_width, 3)),
         jnp.ones((1, cfg.data.signal_len)),
         jnp.ones((1, cfg.model.clinical_in_features)),

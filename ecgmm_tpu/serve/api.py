@@ -199,6 +199,12 @@ class ServingPipeline:
         self._packed_many_sharded = None
         self._serve_n_data = 1
         self._out_shapes = None
+        # live-model pipelines overwrite these in _build_jitted; AOT
+        # (from_exported) pipelines keep them None, which routes the
+        # packed wrappers to the baked-weights closure path
+        self._weights = None
+        self._predict_all_impl = None
+        self._predict_many_impl = None
 
     # -- single-readback output packing ---------------------------------
     #
@@ -222,12 +228,25 @@ class ServingPipeline:
             self._out_shapes = [
                 s.shape for s in jax.eval_shape(base, img, sig, clin)
             ]
+            impl = self._predict_all_impl
+            if impl is not None:  # live model: weights stay an argument
 
-            @jax.jit
-            def packed(img, sig, clin):
-                return _pack_outputs(base(img, sig, clin), batched=False)
+                @jax.jit
+                def packed(w, img, sig, clin):
+                    return _pack_outputs(
+                        impl(w, img, sig, clin), batched=False
+                    )
 
-            self._packed_fn = packed
+                self._packed_fn = partial(packed, self._weights)
+            else:  # AOT bundle: weights already baked into the program
+
+                @jax.jit
+                def packed(img, sig, clin):
+                    return _pack_outputs(
+                        base(img, sig, clin), batched=False
+                    )
+
+                self._packed_fn = packed
 
     def _batched_packed_fn(self, mesh=None):
         """The per-row-packed batched program, built once and cached so
@@ -250,38 +269,60 @@ class ServingPipeline:
                 return cached[1]
             from jax.sharding import NamedSharding, PartitionSpec
 
-            base_many = self._predict_many
+            # enable_batching guarantees a live model here, so the
+            # (w, …) impl exists; the weights are replicated over the
+            # mesh while the batch rows shard across its data axis
+            impl_many = self._predict_many_impl
             row = NamedSharding(mesh, PartitionSpec("data"))
+            repl = NamedSharding(mesh, PartitionSpec())
 
             @partial(
                 jax.jit,
-                in_shardings=(row, row, row),
+                in_shardings=(repl, row, row, row),
                 out_shardings=(row,),
             )
-            def packed_many_sharded(img, sig, clin):
+            def packed_many_sharded(w, img, sig, clin):
                 return (
                     _pack_outputs(
-                        base_many(img, sig, clin), batched=True
+                        impl_many(w, img, sig, clin), batched=True
                     ),
                 )
 
+            fn = partial(packed_many_sharded, self._weights)
             with self._pack_lock:
-                self._packed_many_sharded = (mesh, packed_many_sharded)
-            return packed_many_sharded
+                self._packed_many_sharded = (mesh, fn)
+            return fn
         if self._packed_many_fn is None:
             with self._pack_lock:
                 if self._packed_many_fn is None:
-                    base_many = self._predict_many
+                    impl_many = self._predict_many_impl
+                    if impl_many is not None:  # live model
 
-                    @jax.jit
-                    def packed_many(img, sig, clin):
-                        return (
-                            _pack_outputs(
-                                base_many(img, sig, clin), batched=True
-                            ),
+                        @jax.jit
+                        def packed_many(w, img, sig, clin):
+                            return (
+                                _pack_outputs(
+                                    impl_many(w, img, sig, clin),
+                                    batched=True,
+                                ),
+                            )
+
+                        self._packed_many_fn = partial(
+                            packed_many, self._weights
                         )
+                    else:  # AOT bundle (per-bucket baked programs)
+                        base_many = self._predict_many
 
-                    self._packed_many_fn = packed_many
+                        @jax.jit
+                        def packed_many(img, sig, clin):
+                            return (
+                                _pack_outputs(
+                                    base_many(img, sig, clin),
+                                    batched=True,
+                                ),
+                            )
+
+                        self._packed_many_fn = packed_many
         return self._packed_many_fn
 
     def _unpack(self, flat: np.ndarray):
@@ -314,44 +355,57 @@ class ServingPipeline:
         """Every device computation in the request path is jitted once —
         eager apply dispatches each op individually, which costs seconds
         per request on relayed backends (measured: 1.6 s eager vs ~10 ms
-        jitted for the batch-1 fusion forward)."""
-        model, variables = self.model, self.variables
+        jitted for the batch-1 fusion forward).
+
+        The weights/background/temperature enter every program as one
+        device-resident ARGUMENT pytree `w` (bound via functools.partial),
+        not as closure constants. Traced constants are baked into the
+        HLO, so two servers with different weights — every `demo()`
+        start, every retrained checkpoint — hashed to different
+        persistent-compilation-cache keys: each start re-paid the full
+        relay compile (6–20 min measured) and left an unreusable ~45 MB
+        cache entry. As arguments the programs are weight-independent,
+        so any same-shape restart is a cache read. AOT export still
+        bakes the weights: serve/export.py re-jits the bound partial,
+        which constant-folds `w` into the exported StableHLO."""
+        model = self.model
         d0, d1, _ = self.dims
-        inv_temp = 1.0 / self.temperature
+        w = jax.device_put({
+            "variables": self.variables,
+            "bg": jnp.asarray(self.background),
+            "inv_temp": jnp.float32(1.0 / self.temperature),
+        })
+        self._weights = w
 
-        @jax.jit
-        def forward(img, sig, clin):
-            out = model.apply(variables, img, sig, clin)
-            return jax.nn.softmax(out.fusion_logits * inv_temp, -1)
+        def forward(w, img, sig, clin):
+            out = model.apply(w["variables"], img, sig, clin)
+            return jax.nn.softmax(out.fusion_logits * w["inv_temp"], -1)
 
-        @jax.jit
-        def encode(img, sig, clin):
+        def encode(w, img, sig, clin):
             feats = model.apply(
-                variables, img, sig, clin, method=type(model).encode
+                w["variables"], img, sig, clin, method=type(model).encode
             )
             return jnp.concatenate(feats[:3], axis=1)
 
         from ecgmm_tpu.explain.gradcam import grad_cam_fusion_image
         from ecgmm_tpu.explain.shap_fusion import gradient_shap
 
-        @jax.jit
-        def gradcam(img, cls):
-            cam, _ = grad_cam_fusion_image(model, variables, img, cls)
+        def gradcam(w, img, cls):
+            cam, _ = grad_cam_fusion_image(
+                model, w["variables"], img, cls
+            )
             return cam
 
-        bg = jnp.asarray(self.background)
-
-        @jax.jit
-        def shap(emb, cls):
+        def shap(w, emb, cls):
             def head(e):
                 return model.apply(
-                    variables, e[:, :d0], e[:, d0:d0 + d1], e[:, d0 + d1:],
-                    method=type(model).fuse_embeddings,
+                    w["variables"], e[:, :d0], e[:, d0:d0 + d1],
+                    e[:, d0 + d1:], method=type(model).fuse_embeddings,
                 )
 
-            return gradient_shap(head, emb, bg, cls, n_samples=32)
+            return gradient_shap(head, emb, w["bg"], cls, n_samples=32)
 
-        def clinical_ig(img, sig, clin, cls):
+        def clinical_ig(w, img, sig, clin, cls):
             """Per-dimension attribution over the raw clinical INPUTS
             (age, wt) — integrated gradients of the predicted-class logit
             along the straight path from the scaled cohort mean (zeros
@@ -365,23 +419,21 @@ class ServingPipeline:
             and the served path."""
 
             def f(c):
-                out = model.apply(variables, img, sig, c)
+                out = model.apply(w["variables"], img, sig, c)
                 return out.fusion_logits[0, cls]
 
             alphas = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8.0
             grads = jax.vmap(lambda a: jax.grad(f)(a * clin))(alphas)
             return (clin * jnp.mean(grads, axis=0))[0]  # (n_clin,)
 
-        clin_attr = jax.jit(clinical_ig)
-
-        @jax.jit
-        def predict_all(img, sig, clin):
+        def predict_all(w, img, sig, clin):
             """The WHOLE request's device work in one program: forward,
             Grad-CAM, embedding SHAP, per-feature clinical IG. On relayed
             backends every dispatch pays a real round trip (~tens of ms),
             so collapsing the previous five jit calls into one is the
             dominant serving-latency lever; XLA also CSEs the encoder
             forwards shared by the prediction and the explainers."""
+            variables = w["variables"]
             feats = model.apply(
                 variables, img, sig, clin, method=type(model).encode
             )
@@ -392,7 +444,7 @@ class ServingPipeline:
                 method=type(model).fuse_embeddings,
             )
             # temperature never moves argmax, only honesty of the prob
-            probs = jax.nn.softmax(logits * inv_temp, -1)
+            probs = jax.nn.softmax(logits * w["inv_temp"], -1)
             pred = jnp.argmax(probs[0])
             # feature-map-native CAM (7×7): the host upsamples ONCE to the
             # original strip, and only the tiny map crosses the relay
@@ -404,31 +456,38 @@ class ServingPipeline:
                     variables, e[:, :d0], e[:, d0:d0 + d1],
                     e[:, d0 + d1:], method=type(model).fuse_embeddings,
                 ),
-                emb, bg, pred, n_samples=32,
+                emb, w["bg"], pred, n_samples=32,
             )
-            ca = clinical_ig(img, sig, clin, pred)
+            ca = clinical_ig(w, img, sig, clin, pred)
             return probs, pred, cam, attr, ca
 
-        @jax.jit
-        @jax.vmap
-        def predict_many(img, sig, clin):
+        def predict_many(w, img, sig, clin):
             """The batched request program: the single-sample request
-            vmapped over a bucketed batch (serve/batching.py). Batch-1
-            serving under-fills the MXU and pays a full dispatch round
-            trip per request; coalescing concurrent requests into one
-            vmapped dispatch is the TPU serving-throughput lever."""
-            probs, pred, cam, attr, ca = predict_all(
-                img[None], sig[None], clin[None]
-            )
-            return probs[0], pred, cam[0], attr[0], ca
+            vmapped over a bucketed batch (serve/batching.py) with the
+            weights broadcast (in_axes None). Batch-1 serving under-fills
+            the MXU and pays a full dispatch round trip per request;
+            coalescing concurrent requests into one vmapped dispatch is
+            the TPU serving-throughput lever."""
 
-        self._forward = forward
-        self._encode = encode
-        self._gradcam = gradcam
-        self._shap = shap
-        self._clin_attr = clin_attr
-        self._predict_all = predict_all
-        self._predict_many = predict_many
+            def one(i, s, c):
+                probs, pred, cam, attr, ca = predict_all(
+                    w, i[None], s[None], c[None]
+                )
+                return probs[0], pred, cam[0], attr[0], ca
+
+            return jax.vmap(one)(img, sig, clin)
+
+        # the unjitted (w, ...) bodies, for the packed wrappers in
+        # _ensure_packed/_batched_packed_fn to compose without re-baking w
+        self._predict_all_impl = predict_all
+        self._predict_many_impl = predict_many
+        self._forward = partial(jax.jit(forward), w)
+        self._encode = partial(jax.jit(encode), w)
+        self._gradcam = partial(jax.jit(gradcam), w)
+        self._shap = partial(jax.jit(shap), w)
+        self._clin_attr = partial(jax.jit(clinical_ig), w)
+        self._predict_all = partial(jax.jit(predict_all), w)
+        self._predict_many = partial(jax.jit(predict_many), w)
 
     @classmethod
     def from_run(
@@ -458,8 +517,10 @@ class ServingPipeline:
         sig_len = data.train.signals.shape[-1]
         n_clin = data.train.clinical.shape[-1]
         img_hw = data.train.images.shape[1:3]
-        variables = model.init(
-            jax.random.PRNGKey(0),
+        from ecgmm_tpu.models import jit_init
+
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
             jnp.ones((1,) + tuple(img_hw) + (3,)),
             jnp.ones((1, sig_len)), jnp.ones((1, n_clin)),
         )
@@ -510,8 +571,10 @@ class ServingPipeline:
 
         mcfg = ModelConfig(dtype="float32")
         model = ECGMultimodalModel(cfg=mcfg)
-        variables = model.init(
-            jax.random.PRNGKey(0),
+        from ecgmm_tpu.models import jit_init
+
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
             jnp.ones((1, 224, 224, 3)), jnp.ones((1, 2476)),
             jnp.ones((1, 2)),
         )

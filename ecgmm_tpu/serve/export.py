@@ -72,8 +72,12 @@ def export_bundle(
             jnp.zeros((b, n_clin), jnp.float32),
         )
 
+    # _predict_all is a functools.partial binding the weights as a
+    # device argument (api.py _build_jitted); re-jitting the partial
+    # constant-folds them, so the exported StableHLO stays a baked,
+    # self-contained deployment artifact
     exported = jax_export.export(
-        pipeline._predict_all, platforms=tuple(platforms)
+        jax.jit(pipeline._predict_all), platforms=tuple(platforms)
     )(*example(1))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -82,7 +86,7 @@ def export_bundle(
 
     for b in batch_buckets or ():
         exp_b = jax_export.export(
-            pipeline._predict_many, platforms=tuple(platforms)
+            jax.jit(pipeline._predict_many), platforms=tuple(platforms)
         )(*example(b))
         with open(
             os.path.join(out_dir, f"predict_many_{b}.stablehlo"), "wb"

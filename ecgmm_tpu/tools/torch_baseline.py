@@ -184,8 +184,10 @@ def train_jax(data, epochs: int, cfg=None) -> Dict:
         t, pipeline.num_batches(data.train.n, t.batch_size)
     )
     sig_len = data.train.signals.shape[-1]
-    variables = model.init(jax.random.PRNGKey(t.seed),
-                           jnp.ones((1, sig_len, 1)))
+    from ecgmm_tpu.models import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(t.seed),
+                         jnp.ones((1, sig_len, 1)))
     state = create_state(variables, tx, jax.random.PRNGKey(t.seed))
     task = make_signal_task(model, t)
     mesh = make_mesh()

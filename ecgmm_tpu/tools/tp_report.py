@@ -111,9 +111,11 @@ def build_and_compile(n_data: int, n_model: int, hw: int = 64,
     mcfg = ModelConfig(dtype="float32")
     model = ECGMultimodalModel(cfg=mcfg)
     b, h, w, t = tcfg.batch_size, hw, hw, seq
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.ones((1, h, w, 3)), jnp.ones((1, t)),
-        jnp.ones((1, mcfg.clinical_in_features)),
+    from ecgmm_tpu.models import jit_init
+
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), jnp.ones((1, h, w, 3)),
+        jnp.ones((1, t)), jnp.ones((1, mcfg.clinical_in_features)),
     )
     tx = optim_lib.make_optimizer(tcfg)
     state = tp_shard(

@@ -87,7 +87,10 @@ def _fold_auc(
         steps_per_epoch=num_batches(arrays["train"].n,
                                     cfg.train.batch_size),
     )
-    variables = model.init(jax.random.PRNGKey(cfg.train.seed), *init_args)
+    from ecgmm_tpu.models import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(cfg.train.seed),
+                         *init_args)
     state = create_state(
         variables, tx, jax.random.PRNGKey(cfg.train.seed),
         freeze_predicate=freeze,

@@ -37,6 +37,7 @@ from ecgmm_tpu.models import (
     ResNet18,
     ResNet1DSE,
     TabNetEncoder,
+    jit_init,
 )
 from ecgmm_tpu.parallel import make_mesh
 from ecgmm_tpu.tools.convert_pth import load_partial
@@ -56,7 +57,7 @@ def _fit_stage(model, task, init_args, data, tcfg, mesh, ckpt_dir,
     tx = optim_lib.make_optimizer(
         tcfg, pipeline.num_batches(data.train.n, tcfg.batch_size)
     )
-    variables = model.init(jax.random.PRNGKey(tcfg.seed), *init_args)
+    variables = jit_init(model, jax.random.PRNGKey(tcfg.seed), *init_args)
     state = create_state(
         variables, tx, jax.random.PRNGKey(tcfg.seed), freeze_predicate=freeze
     )
@@ -170,8 +171,8 @@ def run_pipeline(
 
     # Stage 4: fusion with warm-started, frozen encoders (train.py flow)
     fusion_model = ECGMultimodalModel(cfg=mcfg)
-    fusion_vars = fusion_model.init(
-        jax.random.PRNGKey(t.seed),
+    fusion_vars = jit_init(
+        fusion_model, jax.random.PRNGKey(t.seed),
         jnp.ones(n_img), jnp.ones((1, sig_len)), jnp.ones((1, n_clin)),
     )
     fusion_vars = warm_start_fusion(

@@ -24,7 +24,12 @@ import numpy as np
 
 from ecgmm_tpu.config import Config, get_preset
 from ecgmm_tpu.data import pipeline, synthetic
-from ecgmm_tpu.models import ECGMultimodalModel, ResNet18, ResNet1DSE
+from ecgmm_tpu.models import (
+    ECGMultimodalModel,
+    ResNet18,
+    ResNet1DSE,
+    jit_init,
+)
 from ecgmm_tpu.parallel import make_mesh
 from ecgmm_tpu.train import calibrate, engine, optim as optim_lib
 from ecgmm_tpu.train.checkpoint import CheckpointManager
@@ -294,7 +299,7 @@ def run(cfg: Config, data: pipeline.MaterializedData,
     model, task, init_args, freeze = build_model_and_task(cfg)
     steps_per_epoch = pipeline.num_batches(data.train.n, t.batch_size)
     tx = optim_lib.make_optimizer(t, steps_per_epoch)
-    variables = model.init(jax.random.PRNGKey(t.seed), *init_args)
+    variables = jit_init(model, jax.random.PRNGKey(t.seed), *init_args)
     state = create_state(
         variables, tx, jax.random.PRNGKey(t.seed), freeze_predicate=freeze
     )

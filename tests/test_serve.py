@@ -475,3 +475,33 @@ def test_parse_multipart_preserves_trailing_crlf_bytes():
     payload = b"\x00\x01data\r\n\n\r"
     body, ctype = encode_multipart({"file": ("f.bin", payload)})
     assert parse_multipart(body, ctype)["file"] == payload
+
+
+def test_request_program_hlo_is_weight_independent():
+    """The serving request program must NOT bake the weights in as HLO
+    constants: two pipelines with different weights have to lower to the
+    IDENTICAL program text, so a server restart with fresh weights hits
+    the persistent compilation cache instead of re-paying the full
+    relayed-TPU compile (6-20 min measured per demo() start before the
+    weights became a bound argument)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecgmm_tpu.config import ModelConfig
+    from ecgmm_tpu.models.fusion import ECGMultimodalModel
+    from ecgmm_tpu.serve.api import ServingPipeline
+
+    mcfg = ModelConfig(dtype="float32")
+    model = ECGMultimodalModel(cfg=mcfg)
+    ex = (jnp.ones((1, 224, 224, 3)), jnp.ones((1, 2476)),
+          jnp.ones((1, 2)))
+
+    def lowered_text(seed):
+        variables = model.init(jax.random.PRNGKey(seed), *ex)
+        pipe = ServingPipeline(model, variables, temperature=1.5 + seed)
+        return jax.jit(pipe._predict_all_impl).lower(
+            pipe._weights, *ex
+        ).as_text()
+
+    t1, t2 = lowered_text(1), lowered_text(2)
+    assert t1 == t2
