@@ -148,13 +148,19 @@ def materialize_trimodal(
             labels=np.asarray(cohort.labels[idx], np.int32),
             indices=cohort.indices[idx],
         )
-        return fit_in_budget(host, resolve_hbm_budget()) if device \
-            else host
+        return host
 
+    tr, va, te = build(sp.train), build(sp.val), build(sp.test)
+    if device:
+        # cumulative: the three splits share one budget (train first —
+        # it is the hot split; val/test demote first when space runs out)
+        tr, va, te = fit_splits_in_budget(
+            (tr, va, te), resolve_hbm_budget()
+        )
     return MaterializedData(
-        train=build(sp.train),
-        val=build(sp.val),
-        test=build(sp.test),
+        train=tr,
+        val=va,
+        test=te,
         ecg_scaler=ecg_scaler,
         clinical_scaler=clin_scaler,
     )
@@ -194,14 +200,18 @@ def materialize_signal(
             labels=np.asarray(labels[idx], np.int32),
             indices=np.asarray(idx),
         )
-        return fit_in_budget(host, resolve_hbm_budget()) if device \
-            else host
+        return host
 
+    tr, va, te = build(split.train), build(split.val), build(split.test)
+    if device:
+        tr, va, te = fit_splits_in_budget(
+            (tr, va, te), resolve_hbm_budget()
+        )
     ident = preprocess.Scaler(np.zeros(1), np.ones(1))
     return MaterializedData(
-        train=build(split.train),
-        val=build(split.val),
-        test=build(split.test),
+        train=tr,
+        val=va,
+        test=te,
         ecg_scaler=ident,
         clinical_scaler=ident,
     )
@@ -366,6 +376,28 @@ def fit_in_budget(arrays, hbm_budget_bytes: Optional[int]):
         return arrays if isinstance(arrays, Arrays) else _promote(arrays)
     return arrays if isinstance(arrays, HostArrays) \
         else to_host_resident(arrays)
+
+
+def fit_splits_in_budget(splits_seq, hbm_budget_bytes: Optional[int]):
+    """`fit_in_budget` across splits CUMULATIVELY: bytes promoted by
+    earlier splits are charged against the budget the later ones see, so
+    the SUM of device-resident splits respects the budget — three splits
+    at 0.4× budget each must not all promote. Per-split checks alone
+    would let their sum exceed the budget and OOM at materialization.
+    Budget None/0 = unlimited, as in fit_in_budget."""
+    out, remaining = [], hbm_budget_bytes
+    for a in splits_seq:
+        if hbm_budget_bytes and remaining <= 0:
+            # exhausted: demote outright (fit_in_budget reads 0 as
+            # "unlimited", so it cannot express this state)
+            out.append(a if isinstance(a, HostArrays)
+                       else to_host_resident(a))
+            continue
+        fitted = fit_in_budget(a, remaining)
+        out.append(fitted)
+        if hbm_budget_bytes and isinstance(fitted, Arrays):
+            remaining -= split_nbytes(fitted)
+    return out
 
 
 def auto_chunk_batches(budget: int, split, batch_size: int,

@@ -103,7 +103,7 @@ def _load(key: str) -> Optional[ctypes.CDLL]:
             ]
             lib.ecgmm_digitize_darkness.argtypes = [
                 c_u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-                ctypes.c_int, c_f, c_f,
+                ctypes.c_int, c_f, c_f, c_f,
             ]
             lib.ecgmm_trace_sums.argtypes = [
                 c_f, ctypes.c_int64, ctypes.c_int64, c_f, c_d, c_d,
@@ -230,13 +230,13 @@ def _u8ptr(x: np.ndarray):
 
 def darkness_map(
     image: np.ndarray, bg_window: int = 25
-) -> "tuple[np.ndarray, np.ndarray]":
-    """Fused serve/digitize.py darkness_map + per-column maxima for a
-    uint8 photo: returns (rel [h, w] float32, col_max [w] float32). The
-    rel map is bit-exact against the numpy implementation (same float32
-    expressions; max is order-free). Raises when the native engine is
-    unavailable or the image dtype/shape is unsupported — callers fall
-    back to numpy."""
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Fused serve/digitize.py darkness_map + per-column and per-row
+    maxima for a uint8 photo: returns (rel [h, w] float32, col_max [w]
+    float32, row_max [h] float32). The rel map is bit-exact against the
+    numpy implementation (same float32 expressions; maxima are
+    order-free). Raises when the native engine is unavailable or the
+    image dtype/shape is unsupported — callers fall back to numpy."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError(
@@ -257,10 +257,12 @@ def darkness_map(
     h, w = raw.shape[0], raw.shape[1]
     rel = np.empty((h, w), np.float32)
     col_max = np.empty((w,), np.float32)
+    row_max = np.empty((h,), np.float32)
     lib.ecgmm_digitize_darkness(
-        _u8ptr(raw), h, w, c, bg_window, _fptr(rel), _fptr(col_max)
+        _u8ptr(raw), h, w, c, bg_window, _fptr(rel), _fptr(col_max),
+        _fptr(row_max)
     )
-    return rel, col_max
+    return rel, col_max, row_max
 
 
 def colmax(rel: np.ndarray) -> np.ndarray:

@@ -90,13 +90,16 @@ void channel_max_rows(const uint8_t* img, int64_t w, int c, int64_t r0,
 
 extern "C" {
 
-// Fused darkness map + per-column maxima.
+// Fused darkness map + per-column and per-row maxima.
 //
 //   img      uint8 [h, w, c] row-major (c = 1 grayscale or >= 3 RGB[A];
 //            only the first 3 channels participate, matching numpy's
 //            max over the RGB planes — callers pass c <= 3)
 //   rel      float32 [h, w] out: relative ink darkness in [0, 1]
 //   col_max  float32 [w] out: per-column max of rel (order-free, exact)
+//   row_max  float32 [h] out: per-row max of rel (the crop ink veto's
+//            reduction — emitting it here removes a full-frame
+//            GIL-held numpy pass per scene photo); may be null
 //
 // Matches digitize.py darkness_map(image, bg_window) bit-for-bit:
 // bright = channel max; paper = grayscale closing (bg_window block max,
@@ -105,7 +108,7 @@ extern "C" {
 // clip((paper - bright) / paper, 0, 1) evaluated in float32.
 void ecgmm_digitize_darkness(const uint8_t* img, int64_t h, int64_t w,
                              int c, int bg_window, float* rel,
-                             float* col_max) {
+                             float* col_max, float* row_max) {
   const int64_t bw = bg_window;
   const int64_t hb = (h + bw - 1) / bw;   // tile-grid rows
   const int64_t wb = (w + bw - 1) / bw;   // tile-grid cols
@@ -167,6 +170,7 @@ void ecgmm_digitize_darkness(const uint8_t* img, int64_t h, int64_t w,
         const float* prow = closed.data() + (i / period) * cw;
         const uint8_t* brow = bright.data() + i * w;
         float* orow = rel + i * w;
+        float rmax = 0.0f;
         // one closing cell spans `period` columns — hoist the paper
         // value and reciprocal per cell so the inner loop is a flat
         // fused multiply/clamp the compiler can vectorize
@@ -180,8 +184,11 @@ void ecgmm_digitize_darkness(const uint8_t* img, int64_t h, int64_t w,
             r = std::min(1.0f, std::max(0.0f, r));
             orow[j] = r;
             cmax[j] = std::max(cmax[j], r);
+            rmax = std::max(rmax, r);
           }
         }
+        // bands own disjoint row ranges: no contention on row_max
+        if (row_max != nullptr) row_max[i] = rmax;
       }
     });
   }

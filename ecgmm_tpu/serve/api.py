@@ -170,8 +170,15 @@ class ServingPipeline:
         # temperature-scaled softmax (train/calibrate.py): a fitted T
         # from the training run's validation split makes the served
         # probability honest; 1.0 = raw softmax. Baked into the jitted
-        # request program (and therefore into AOT exports).
+        # request program (and therefore into AOT exports). T ≤ 0 / NaN
+        # would serve inverted or garbage probabilities — reject here
+        # rather than at 1/T inside program build.
         self.temperature = float(temperature)
+        if not (np.isfinite(self.temperature) and self.temperature > 0):
+            raise ValueError(
+                f"temperature must be a positive finite scalar, got "
+                f"{temperature!r}"
+            )
         cfg = model.cfg
         self.dims = (cfg.image_dim, cfg.signal_dim, cfg.clinical_dim)
         if background_embeddings is None:
@@ -196,7 +203,7 @@ class ServingPipeline:
         self._pack_lock = threading.Lock()
         self._packed_fn = None
         self._packed_many_fn = None
-        self._packed_many_sharded = None
+        self._packed_many_sharded = {}
         self._serve_n_data = 1
         self._out_shapes = None
         # live-model pipelines overwrite these in _build_jitted; AOT
@@ -260,13 +267,15 @@ class ServingPipeline:
         batched program is a vmap), so no collectives are inserted and
         the sharded outputs equal the single-device ones."""
         if mesh is not None:
-            cached = self._packed_many_sharded
-            # structural equality, not identity: enable_batching builds a
-            # fresh Mesh object per call, and a re-enable with the same
-            # devices must reuse the compiled buckets (a recompile costs
-            # 30–250 s per bucket on the relayed TPU)
-            if cached is not None and cached[0] == mesh:
-                return cached[1]
+            # keyed by mesh (Mesh hashes structurally — enable_batching
+            # builds a fresh Mesh object per call, and a re-enable with
+            # the same devices must reuse the compiled buckets; a
+            # recompile costs 30–250 s per bucket on the relayed TPU).
+            # A dict, not a single slot: ops toggling between n_data
+            # values must not recompile on every toggle either.
+            cached = self._packed_many_sharded.get(mesh)
+            if cached is not None:
+                return cached
             from jax.sharding import NamedSharding, PartitionSpec
 
             # enable_batching guarantees a live model here, so the
@@ -290,7 +299,7 @@ class ServingPipeline:
 
             fn = partial(packed_many_sharded, self._weights)
             with self._pack_lock:
-                self._packed_many_sharded = (mesh, fn)
+                self._packed_many_sharded[mesh] = fn
             return fn
         if self._packed_many_fn is None:
             with self._pack_lock:

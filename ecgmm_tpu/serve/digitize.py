@@ -148,12 +148,13 @@ def darkness_map(image: np.ndarray, bg_window: int = 25) -> np.ndarray:
 
 def _darkness_and_colmax(
     image: np.ndarray,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """(darkness map, per-column maxima or None): the native kernel
-    computes both in its single fused pass, so callers that need the
-    column maxima (the ink veto, the trace threshold) must take them
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    """(darkness map, per-column maxima or None, per-row maxima or
+    None): the native kernel computes all three in its single fused
+    pass, so callers that need the column maxima (the ink veto, the
+    trace threshold) or row maxima (the crop ink veto) must take them
     from here instead of re-reducing the full frame in numpy with the
-    GIL held — on a phone photo that reduction costs ~10 ms per pass,
+    GIL held — on a phone photo each such reduction costs ~10 ms,
     which is the cost digitize.cpp exists to remove."""
     raw = np.asarray(image)
     nat = _native()
@@ -163,7 +164,7 @@ def _darkness_and_colmax(
         and (raw.ndim == 2 or (raw.ndim == 3 and raw.shape[-1] >= 3))
     ):
         return nat.darkness_map(raw)
-    return darkness_map(image), None
+    return darkness_map(image), None, None
 
 
 def _block_min(values: np.ndarray, w: int) -> np.ndarray:
@@ -542,7 +543,7 @@ def _locate_strip_impl(
     # side while the dark trace survives, and cutting live trace is
     # strictly worse than keeping some background
     if x0 > 0 or x1 < w or y0 > 0 or y1 < h:
-        rel_full, col_max_full = _darkness_and_colmax(raw)
+        rel_full, col_max_full, row_max_full = _darkness_and_colmax(raw)
         if col_max_full is None:
             col_max_full = rel_full.max(axis=0)
         if x0 > 0 or x1 < w:
@@ -551,7 +552,15 @@ def _locate_strip_impl(
             if outside.size and outside.mean() > 0.3:
                 x0, x1 = 0, w
         if y0 > 0 or y1 < h:
-            ink_rows = rel_full.max(axis=1) >= 0.3
+            if row_max_full is None:
+                # numpy fallback: the veto only consults rows OUTSIDE
+                # the candidate box — reduce just those bands
+                row_max_full = np.zeros(h, np.float32)
+                if y0 > 0:
+                    row_max_full[:y0] = rel_full[:y0].max(axis=1)
+                if y1 < h:
+                    row_max_full[y1:] = rel_full[y1:].max(axis=1)
+            ink_rows = row_max_full >= 0.3
             outside = np.concatenate([ink_rows[:y0], ink_rows[y1:]])
             if outside.size and outside.mean() > 0.3:
                 y0, y1 = 0, h
@@ -601,7 +610,7 @@ def extract_trace(
     threaded — see `_native`)."""
     nat = _native()
     if rel is None:
-        rel, col_max = _darkness_and_colmax(image)
+        rel, col_max, _ = _darkness_and_colmax(image)
     if col_max is None:
         col_max = nat.colmax(rel) if nat is not None else rel.max(axis=0)
     floor = max(abs_floor, 0.4 * float(np.percentile(col_max, 90)))

@@ -52,6 +52,13 @@ def fit_temperature(
             f"need (n, C) logits and (n,) labels, got {logits.shape} / "
             f"{np.shape(labels)}"
         )
+    # Degenerate-split guards: on a perfectly separated validation set
+    # NLL decreases monotonically as T→0, so the "fit" is just the lower
+    # bound — softmax(logits/0.05) would SHARPEN every served probability
+    # ~20×, the opposite of calibration. Same for a split too small to
+    # estimate one parameter from. Identity is the honest answer.
+    if len(logits) < 8 or (logits.argmax(axis=1) == labels).all():
+        return 1.0
     from scipy.optimize import minimize_scalar
 
     res = minimize_scalar(
@@ -60,7 +67,12 @@ def fit_temperature(
         method="bounded",
         options={"xatol": 1e-4},
     )
-    return float(np.exp(res.x))
+    t = float(np.exp(res.x))
+    # A fit pinned to a bound means the objective had no interior
+    # minimum on this split — a bound artifact, not a calibration.
+    if t <= bounds[0] * 1.01 or t >= bounds[1] * 0.99:
+        return 1.0
+    return t
 
 
 def expected_calibration_error(

@@ -328,12 +328,10 @@ def run(cfg: Config, data: pipeline.MaterializedData,
         # upload.
         budget = pipeline.resolve_hbm_budget()
         if budget:
-            data = dataclasses.replace(
-                data,
-                train=pipeline.fit_in_budget(data.train, budget),
-                val=pipeline.fit_in_budget(data.val, budget),
-                test=pipeline.fit_in_budget(data.test, budget),
+            tr, va, te = pipeline.fit_splits_in_budget(
+                (data.train, data.val, data.test), budget
             )
+            data = dataclasses.replace(data, train=tr, val=va, test=te)
             if (t.stream_chunk_batches == 0
                     and isinstance(data.train, pipeline.HostArrays)):
                 auto_k = pipeline.auto_chunk_batches(

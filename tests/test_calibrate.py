@@ -82,3 +82,33 @@ def test_ece_perfect_predictor_is_zero():
     probs = np.array([[0.0, 1.0]] * 50 + [[1.0, 0.0]] * 50)
     labels = np.array([1] * 50 + [0] * 50)
     assert calibrate.expected_calibration_error(probs, labels) < 1e-9
+
+
+def test_perfectly_separated_val_returns_identity():
+    """On a perfectly classified val split NLL decreases monotonically
+    as T→0 — a naive fit returns the 0.05 lower bound and would SHARPEN
+    every served probability ~20×. The guard must return 1.0."""
+    rng = np.random.default_rng(7)
+    n = 64
+    labels = rng.integers(0, 2, n)
+    logits = np.zeros((n, 2))
+    logits[np.arange(n), labels] = 2.0 + rng.random(n)  # all correct
+    assert calibrate.fit_temperature(logits, labels) == 1.0
+
+
+def test_tiny_val_split_returns_identity():
+    """Too few points to estimate even one parameter from."""
+    logits = np.array([[2.0, 0.0], [0.0, 2.0], [2.0, 0.0]])
+    labels = np.array([1, 0, 1])  # all wrong — would otherwise fit
+    assert calibrate.fit_temperature(logits, labels) == 1.0
+
+
+def test_bound_pinned_fit_returns_identity():
+    """A fit that lands on a bound found no interior minimum — e.g.
+    every prediction confidently wrong drives T to the upper bound."""
+    rng = np.random.default_rng(11)
+    n = 128
+    labels = rng.integers(0, 2, n)
+    logits = np.zeros((n, 2))
+    logits[np.arange(n), 1 - labels] = 50.0  # all wrong, huge margin
+    assert calibrate.fit_temperature(logits, labels) == 1.0

@@ -127,8 +127,18 @@ def test_serving_from_trained_run(tmp_path):
     assert abs(sum(out["feature_importance"].values()) - 100.0) < 1.0
     assert len(out["ecg_signal"]) > 50
     # the run fit a softmax temperature on its val split (train/
-    # calibrate.py) and from_run loaded it into the request program
-    assert pipe.temperature > 0 and pipe.temperature != 1.0
+    # calibrate.py) and from_run loaded that exact value into the
+    # request program (on a tiny/degenerate val split the fit's guard
+    # legitimately returns 1.0, so pin the plumbing, not the value)
+    from ecgmm_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    assert ckpt.exists("calibration")
+    saved = ckpt.restore(
+        "calibration",
+        {"temperature_best": 1.0, "temperature_last": 1.0},
+    )
+    assert pipe.temperature == float(saved["temperature_best"]) > 0
 
 
 def test_hospital_layout_end_to_end(tmp_path):

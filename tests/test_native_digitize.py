@@ -51,10 +51,11 @@ def _render_strip(rng, h=250, w=2500, grid=True):
 def test_darkness_map_bit_exact(rng, shape):
     img = rng.integers(0, 256, shape, dtype=np.uint8)
     rel_np, _, _ = _numpy_reference(img)
-    rel_nat, col_max = native.darkness_map(img)
+    rel_nat, col_max, row_max = native.darkness_map(img)
     assert rel_nat.dtype == np.float32
     np.testing.assert_array_equal(rel_np, rel_nat)
     np.testing.assert_array_equal(col_max, rel_np.max(axis=0))
+    np.testing.assert_array_equal(row_max, rel_np.max(axis=1))
 
 
 def test_extract_trace_matches_numpy_on_rendered_strip(rng):

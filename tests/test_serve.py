@@ -505,3 +505,26 @@ def test_request_program_hlo_is_weight_independent():
 
     t1, t2 = lowered_text(1), lowered_text(2)
     assert t1 == t2
+
+
+def test_pipeline_rejects_garbage_temperature():
+    """T ≤ 0 / NaN would serve inverted or garbage probabilities (the
+    program divides by T) — the constructor must reject it like it
+    rejects non-finite px_per_mv, not crash later inside program
+    build."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecgmm_tpu.config import ModelConfig
+    from ecgmm_tpu.models.fusion import ECGMultimodalModel
+    from ecgmm_tpu.serve.api import ServingPipeline
+
+    mcfg = ModelConfig(dtype="float32")
+    model = ECGMultimodalModel(cfg=mcfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 224, 224, 3)),
+        jnp.ones((1, 2476)), jnp.ones((1, 2)),
+    )
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="temperature"):
+            ServingPipeline(model, variables, temperature=bad)

@@ -59,6 +59,35 @@ def test_fit_in_budget_demotes_only_over_budget(data64):
     )
 
 
+def test_fit_splits_in_budget_is_cumulative(data64):
+    """Three splits each under the budget individually must NOT all
+    promote when their SUM exceeds it — the budget bounds total
+    device-resident bytes, and an over-sum upload is exactly the OOM
+    the check exists to prevent. Train (first) wins; later splits
+    demote once the remainder can't hold them."""
+    tr_b = pipeline.split_nbytes(data64.train)
+    va_b = pipeline.split_nbytes(data64.val)
+    budget = tr_b + va_b // 2  # train fits; val/test don't after it
+    tr, va, te = pipeline.fit_splits_in_budget(
+        (data64.train, data64.val, data64.test), budget
+    )
+    assert isinstance(tr, pipeline.Arrays)
+    assert isinstance(va, pipeline.HostArrays)
+    assert isinstance(te, pipeline.HostArrays)
+    # unlimited still promotes everything
+    tr, va, te = pipeline.fit_splits_in_budget(
+        (data64.train, data64.val, data64.test), None
+    )
+    assert all(isinstance(s, pipeline.Arrays) for s in (tr, va, te))
+    # generous budget promotes everything too
+    total = sum(pipeline.split_nbytes(s)
+                for s in (data64.train, data64.val, data64.test))
+    tr, va, te = pipeline.fit_splits_in_budget(
+        (data64.train, data64.val, data64.test), total
+    )
+    assert all(isinstance(s, pipeline.Arrays) for s in (tr, va, te))
+
+
 def test_prefetch_matches_resident_batches(data64, mesh8):
     host = pipeline.to_host_resident(data64.train)
     resident = list(pipeline.iterate_batches(
