@@ -46,6 +46,12 @@ from ecgmm_tpu.serve.report import rule_based_report
 
 ENDPOINT = "/api/public/upload-ecgImage-lead2only"
 
+# /metrics latency-histogram bucket upper bounds, in seconds. Spans the
+# measured serving envelope (BASELINE.md: ~56 ms cam … ~130 ms png warm,
+# seconds when cold/under load) with Prometheus-convention powers of two.
+LATENCY_BUCKETS = (0.025, 0.05, 0.1, 0.2, 0.4, 0.8, 1.6, 3.2, 6.4,
+                   float("inf"))
+
 
 def _native_heatmap():
     """The native overlay/PNG kernels (ecgmm_tpu/native/heatmap.cpp), or
@@ -197,6 +203,10 @@ class ServingPipeline:
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._latency_sum = 0.0
+        self._n_errors = 0
+        # per-bucket (non-cumulative) counts; metrics() cumulates into
+        # the Prometheus le-convention at render time
+        self._latency_hist = [0] * len(LATENCY_BUCKETS)
         self._init_packing()
 
     def _init_packing(self):
@@ -347,8 +357,10 @@ class ServingPipeline:
         """Operational counters for the /stats endpoint."""
         with self._stats_lock:
             n, lat = self._n_requests, self._latency_sum
+            errs = self._n_errors
         out = {
             "requests": n,
+            "errors": errs,
             "mean_latency_ms": (lat / n * 1e3) if n else 0.0,
             "aot": self.model is None,
             "temperature": getattr(self, "temperature", 1.0),
@@ -359,6 +371,64 @@ class ServingPipeline:
             out["batching"] = b.stats()
             out["batching"]["n_data"] = self._serve_n_data
         return out
+
+    def record_error(self) -> None:
+        """Count a request answered 4xx/5xx (called by the HTTP handler;
+        predict() itself only sees requests that reached the model)."""
+        with self._stats_lock:
+            self._n_errors += 1
+
+    def metrics(self) -> str:
+        """The /stats counters in Prometheus text exposition format
+        (version 0.0.4), so production scrapers need no JSON mapping:
+        request/error counters, an end-to-end predict() latency
+        histogram over LATENCY_BUCKETS, and the micro-batcher's
+        dispatch gauges when batching is on."""
+        with self._stats_lock:
+            n, lat = self._n_requests, self._latency_sum
+            errs = self._n_errors
+            hist = list(self._latency_hist)
+        lines = [
+            "# HELP ecgmm_requests_total Requests served a prediction.",
+            "# TYPE ecgmm_requests_total counter",
+            f"ecgmm_requests_total {n}",
+            "# HELP ecgmm_request_errors_total Requests answered "
+            "4xx/5xx.",
+            "# TYPE ecgmm_request_errors_total counter",
+            f"ecgmm_request_errors_total {errs}",
+            "# HELP ecgmm_request_latency_seconds End-to-end predict() "
+            "latency (digitize + device dispatch + explainers + "
+            "heatmap encode).",
+            "# TYPE ecgmm_request_latency_seconds histogram",
+        ]
+        cum = 0
+        for ub, c in zip(LATENCY_BUCKETS, hist):
+            cum += c
+            le = "+Inf" if ub == float("inf") else f"{ub:g}"
+            lines.append(
+                f'ecgmm_request_latency_seconds_bucket{{le="{le}"}} {cum}'
+            )
+        lines.append(f"ecgmm_request_latency_seconds_sum {lat:.6f}")
+        lines.append(f"ecgmm_request_latency_seconds_count {n}")
+        b = self._batcher
+        lines += [
+            "# HELP ecgmm_batching_enabled Micro-batching active (gauge).",
+            "# TYPE ecgmm_batching_enabled gauge",
+            f"ecgmm_batching_enabled {0 if b is None else 1}",
+        ]
+        if b is not None:
+            s = b.stats()
+            lines += [
+                "# TYPE ecgmm_batch_dispatches_total counter",
+                f"ecgmm_batch_dispatches_total {s['dispatches']}",
+                "# TYPE ecgmm_batch_requests_total counter",
+                f"ecgmm_batch_requests_total {s['requests']}",
+                "# HELP ecgmm_batch_mean_coalescence Requests per device "
+                "dispatch since startup (gauge).",
+                "# TYPE ecgmm_batch_mean_coalescence gauge",
+                f"ecgmm_batch_mean_coalescence {s['mean_coalescence']:.4f}",
+            ]
+        return "\n".join(lines) + "\n"
 
     def _build_jitted(self):
         """Every device computation in the request path is jitted once —
@@ -783,6 +853,7 @@ class ServingPipeline:
         with self._stats_lock:
             self._n_requests = 0
             self._latency_sum = 0.0
+            self._latency_hist = [0] * len(LATENCY_BUCKETS)
 
     def predict(self, image_u8: np.ndarray, questionnaire: Dict,
                 heatmap_format: str = "png") -> Dict:
@@ -958,9 +1029,14 @@ class ServingPipeline:
             age=age, sex=_sex_from_questionnaire(questionnaire),
         )
 
+        _dt = time.perf_counter() - _t0
         with self._stats_lock:
             self._n_requests += 1
-            self._latency_sum += time.perf_counter() - _t0
+            self._latency_sum += _dt
+            for _i, _ub in enumerate(LATENCY_BUCKETS):
+                if _dt <= _ub:
+                    self._latency_hist[_i] += 1
+                    break
         resp = {
             "label": label,
             "probability": float(probs[pred]),
@@ -1009,6 +1085,17 @@ def make_handler(pipeline: ServingPipeline):
             if self.path == "/stats":
                 self._send_json(pipeline.stats())
                 return
+            if self.path == "/metrics":
+                body = pipeline.metrics().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "text/plain; version=0.0.4; charset=utf-8",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path not in ("/", "/index.html"):
                 self.send_error(404)
                 return
@@ -1033,6 +1120,7 @@ def make_handler(pipeline: ServingPipeline):
                 if length <= 0:
                     raise BadRequest("empty request body")
                 if length > MAX_REQUEST_BYTES:
+                    pipeline.record_error()
                     self._send_json(
                         {"error": "request body exceeds "
                                   f"{MAX_REQUEST_BYTES} bytes"},
@@ -1091,20 +1179,61 @@ def make_handler(pipeline: ServingPipeline):
                     raise BadRequest(str(e))
                 self._send_json(result)
             except BadRequest as e:
+                pipeline.record_error()
                 self._send_json({"error": str(e)}, code=400)
             except Exception as e:  # pragma: no cover - defensive
+                pipeline.record_error()
                 self._send_json({"error": str(e)}, code=500)
 
     return Handler
 
 
+class GracefulHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that DRAINS on close: handler threads are
+    non-daemon and joined by server_close(), so a shutdown() lets every
+    in-flight request finish and send its response before the process
+    exits. ThreadingHTTPServer's default daemon threads would be killed
+    mid-reply at interpreter teardown. A peer that never reads its
+    response can stall the drain; SIGKILL stays the supervisor's
+    escalation path, exactly as with the train engine's SIGTERM grace
+    (train/engine.py)."""
+
+    daemon_threads = False
+    block_on_close = True
+
+
+def install_graceful_shutdown(httpd, pipeline: ServingPipeline):
+    """SIGTERM/SIGINT → stop accepting, let in-flight requests complete,
+    then return from serve_forever. Mirrors the train engine's
+    preemption handling (orbax save on SIGTERM); for serving the state
+    to protect is the in-flight responses. Main-thread only (CPython
+    signal.signal restriction); returns the handler so tests can invoke
+    the drain without a real signal."""
+    import signal as _signal
+
+    def _drain(signum=None, frame=None):
+        # shutdown() blocks until the accept loop exits — call it from a
+        # helper thread: blocking inside the signal handler would
+        # deadlock the loop we are waiting on
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    _signal.signal(_signal.SIGTERM, _drain)
+    _signal.signal(_signal.SIGINT, _drain)
+    return _drain
+
+
 def serve(pipeline: ServingPipeline, port: int = 8080,
-          background: bool = False) -> ThreadingHTTPServer:
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(pipeline))
+          background: bool = False,
+          graceful: bool = False) -> ThreadingHTTPServer:
+    httpd = GracefulHTTPServer(("0.0.0.0", port), make_handler(pipeline))
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         return httpd
+    if graceful:
+        install_graceful_shutdown(httpd, pipeline)
     httpd.serve_forever()
+    httpd.server_close()  # joins in-flight handler threads (drain)
+    pipeline.close_batching()  # after the join: no submitter can race it
     return httpd
 
 
@@ -1176,7 +1305,8 @@ def main(argv=None):
         with_cache_recovery(pipeline.warmup)
         with_cache_recovery(pipeline.warmup_batched)
     print(f"serving on :{args.port}{ENDPOINT}")
-    serve(pipeline, args.port)
+    serve(pipeline, args.port, graceful=True)
+    print("drained in-flight requests; bye")
 
 
 if __name__ == "__main__":

@@ -528,3 +528,152 @@ def test_pipeline_rejects_garbage_temperature():
     for bad in (0.0, -1.0, float("nan"), float("inf")):
         with pytest.raises(ValueError, match="temperature"):
             ServingPipeline(model, variables, temperature=bad)
+
+
+def test_metrics_endpoint_prometheus(server):
+    """/metrics: text exposition with a latency histogram consistent
+    with /stats, and an error counter that moves on bad requests."""
+    import re
+
+    from PIL import Image
+
+    # one successful request so the counters are non-zero under isolation
+    cohort = synthetic.make_cohort(n=1, signal_len=2476, img_hw=(250, 2500))
+    buf = io.BytesIO()
+    Image.fromarray(cohort.images[0]).save(buf, format="PNG")
+    body, ctype = _multipart({
+        "file": ("e.png", buf.getvalue()),
+        "questionnaire": (None, json.dumps({"age": 60}).encode()),
+    })
+    req = urllib.request.Request(server + ENDPOINT, data=body,
+                                 headers={"Content-Type": ctype},
+                                 method="POST")
+    urllib.request.urlopen(req, timeout=600).read()
+
+    resp = urllib.request.urlopen(server + "/metrics", timeout=60)
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+
+    # histogram: cumulative buckets, +Inf bucket == _count == /stats
+    buckets = [
+        int(v) for v in re.findall(
+            r'ecgmm_request_latency_seconds_bucket\{le="[^"]+"\} (\d+)',
+            text,
+        )
+    ]
+    assert buckets and buckets == sorted(buckets)
+    assert re.search(
+        r'ecgmm_request_latency_seconds_bucket\{le="\+Inf"\}', text
+    )
+    count = int(
+        re.search(r"ecgmm_request_latency_seconds_count (\d+)", text)
+        .group(1)
+    )
+    assert buckets[-1] == count >= 1
+    stats = json.load(urllib.request.urlopen(server + "/stats", timeout=60))
+    assert count == stats["requests"]
+    lat_sum = float(
+        re.search(r"ecgmm_request_latency_seconds_sum ([\d.]+)", text)
+        .group(1)
+    )
+    assert lat_sum > 0.0
+    assert "ecgmm_batching_enabled 0" in text  # demo server runs unbatched
+
+    # a malformed POST (undecodable image) must move the error counter
+    errs_before = int(
+        re.search(r"ecgmm_request_errors_total (\d+)", text).group(1)
+    )
+    assert errs_before == stats["errors"]
+    bad_body, bad_ctype = _multipart({
+        "file": ("junk.bin", b"not an image"),
+    })
+    bad = urllib.request.Request(server + ENDPOINT, data=bad_body,
+                                 headers={"Content-Type": bad_ctype},
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=60)
+    assert ei.value.code == 400
+    text2 = urllib.request.urlopen(
+        server + "/metrics", timeout=60
+    ).read().decode()
+    errs_after = int(
+        re.search(r"ecgmm_request_errors_total (\d+)", text2).group(1)
+    )
+    assert errs_after == errs_before + 1
+
+
+def test_graceful_shutdown_drains_in_flight(demo_pipeline):
+    """SIGTERM-style drain: a request whose body is still arriving when
+    the drain fires must complete with a 200 before the server exits —
+    GracefulHTTPServer joins the handler thread in server_close()
+    instead of killing it mid-reply (ThreadingHTTPServer's daemon
+    default)."""
+    import socket
+    import threading
+    import time
+
+    from PIL import Image
+
+    from ecgmm_tpu.serve.api import (
+        GracefulHTTPServer,
+        install_graceful_shutdown,
+        make_handler,
+    )
+
+    httpd = GracefulHTTPServer(
+        ("127.0.0.1", 0), make_handler(demo_pipeline)
+    )
+    loop = threading.Thread(target=httpd.serve_forever)
+    loop.start()
+    try:
+        port = httpd.server_address[1]
+        cohort = synthetic.make_cohort(
+            n=1, signal_len=2476, img_hw=(250, 2500)
+        )
+        buf = io.BytesIO()
+        Image.fromarray(cohort.images[0]).save(buf, format="PNG")
+        body, ctype = _multipart({
+            "file": ("e.png", buf.getvalue()),
+            "questionnaire": (None, json.dumps({"age": 60}).encode()),
+        })
+        head = (
+            f"POST {ENDPOINT} HTTP/1.1\r\nHost: t\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        try:
+            # deliver all but the tail: the handler thread blocks inside
+            # rfile.read(length) — guaranteed in-flight when we drain
+            s.sendall(head + body[:-64])
+            time.sleep(0.5)
+
+            drain = install_graceful_shutdown(httpd, demo_pipeline)
+            drain()  # what SIGTERM/SIGINT invoke
+            # accept loop exits even though the request is unfinished
+            loop.join(timeout=30)
+            assert not loop.is_alive()
+
+            s.sendall(body[-64:])  # now let the in-flight request finish
+            s.settimeout(600)
+            chunks = []
+            while True:
+                c = s.recv(65536)
+                if not c:
+                    break
+                chunks.append(c)
+            raw = b"".join(chunks)
+        finally:
+            s.close()
+        assert raw.startswith(b"HTTP/1.0 200"), raw[:80]
+        payload = json.loads(raw.split(b"\r\n\r\n", 1)[1])
+        assert payload["label"] in ("Normal", "Abnormal")
+
+        # the drain: joins the (non-daemon) handler threads
+        httpd.server_close()
+    finally:
+        if loop.is_alive():  # defensive: never leak the accept loop
+            httpd.shutdown()
+            loop.join(timeout=10)
+            httpd.server_close()
