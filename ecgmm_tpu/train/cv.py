@@ -131,25 +131,58 @@ def nested_cv(
     mesh=None,
     apply_filter: bool = True,
     verbose: bool = True,
+    fold_parallel: bool = False,
 ) -> Dict[str, object]:
     """Outer k_outer × inner k_inner nested CV. Each inner fold trains to
     early stop, its best-val state is scored on the outer test, and the
     outer AUC is the MEAN over the inner folds (the reference scores
     only the last inner fold's best checkpoint, train_kfold.py:157-172 —
-    the mean is strictly more informative; PARITY.md row)."""
+    the mean is strictly more informative; PARITY.md row).
+
+    fold_parallel=True trains ALL k_outer×k_inner folds in ONE jitted
+    program (train/cv_parallel.py) — folds ride the mesh's data axis and
+    the whole harness costs a single device dispatch instead of 2 per
+    epoch per fold. Sequential-parity is tested
+    (tests/test_cv_parallel.py); pair it with cache_embeddings for the
+    fusion preset so the stacked per-fold arrays are 672-dim embeddings,
+    not image copies."""
     t = cfg.train
-    outer_aucs: List[float] = []
-    for fold_id, outer_test, inner_splits in splits.nested_kfold(
+    groups = list(splits.nested_kfold(
         cohort.labels, t.k_outer, t.k_inner, t.seed
-    ):
-        fold_aucs = [
-            _fold_auc(make_model_task, cohort, s, cfg, mesh, apply_filter)
-            for s in inner_splits
-        ]
-        auc = float(np.nanmean(fold_aucs))
-        outer_aucs.append(auc)
-        if verbose:
-            print(f"[outer {fold_id}] inner AUCs={fold_aucs} mean={auc:.4f}")
+    ))
+    if fold_parallel:
+        from ecgmm_tpu.train import cv_parallel
+
+        flat = [s for _, _, inner in groups for s in inner]
+        task, tx, state0, fold_arrays = cv_parallel.prepare_folds(
+            make_model_task, cohort, flat, cfg, mesh=mesh,
+            apply_filter=apply_filter,
+        )
+        res = cv_parallel.run_fold_parallel(
+            task, tx, state0, fold_arrays, t, mesh=mesh
+        )
+        outer_aucs, i = [], 0
+        for fold_id, _, inner_splits in groups:
+            fold_aucs = res.aucs[i:i + len(inner_splits)]
+            i += len(inner_splits)
+            auc = float(np.nanmean(fold_aucs))
+            outer_aucs.append(auc)
+            if verbose:
+                print(f"[outer {fold_id}] inner AUCs={fold_aucs} "
+                      f"mean={auc:.4f}")
+    else:
+        outer_aucs = []
+        for fold_id, outer_test, inner_splits in groups:
+            fold_aucs = [
+                _fold_auc(make_model_task, cohort, s, cfg, mesh,
+                          apply_filter)
+                for s in inner_splits
+            ]
+            auc = float(np.nanmean(fold_aucs))
+            outer_aucs.append(auc)
+            if verbose:
+                print(f"[outer {fold_id}] inner AUCs={fold_aucs} "
+                      f"mean={auc:.4f}")
     return {
         "outer_aucs": outer_aucs,
         "mean_auc": float(np.nanmean(outer_aucs)),
@@ -166,19 +199,47 @@ def exhaustive_cv(
     apply_filter: bool = True,
     max_pairs: Optional[int] = None,
     verbose: bool = True,
+    fold_parallel: bool = False,
 ) -> Dict[str, object]:
     """All k×(k−1) (test, val) pairs (train_exhausted.py:165-217);
-    max_pairs bounds runtime for smoke runs."""
-    aucs: List[Tuple[int, int, float]] = []
+    max_pairs bounds runtime for smoke runs.
+
+    fold_parallel=True runs every pair in ONE jitted program — the 90
+    sequential early-stop loops (each 2 dispatches/epoch on the relayed
+    TPU) collapse to a single dispatch, with pairs sharded over the
+    mesh's data axis. Pair it with cache_embeddings for the fusion
+    preset so the 90 stacked per-pair arrays are embeddings, not image
+    copies (train/cv_parallel.py)."""
+    pairs = []
     for n, (ti, vi, s) in enumerate(
         splits.exhaustive_fold_pairs(cohort.labels, k, cfg.train.seed)
     ):
         if max_pairs is not None and n >= max_pairs:
             break
-        auc = _fold_auc(make_model_task, cohort, s, cfg, mesh, apply_filter)
-        aucs.append((ti, vi, auc))
-        if verbose:
-            print(f"[test={ti} val={vi}] auc={auc:.4f}")
+        pairs.append((ti, vi, s))
+    aucs: List[Tuple[int, int, float]] = []
+    if fold_parallel:
+        from ecgmm_tpu.train import cv_parallel
+
+        task, tx, state0, fold_arrays = cv_parallel.prepare_folds(
+            make_model_task, cohort, [s for _, _, s in pairs], cfg,
+            mesh=mesh, apply_filter=apply_filter,
+        )
+        res = cv_parallel.run_fold_parallel(
+            task, tx, state0, fold_arrays, cfg.train, mesh=mesh
+        )
+        for (ti, vi, _), auc in zip(pairs, res.aucs):
+            aucs.append((ti, vi, auc))
+            if verbose:
+                print(f"[test={ti} val={vi}] auc={auc:.4f}")
+    else:
+        for ti, vi, s in pairs:
+            auc = _fold_auc(
+                make_model_task, cohort, s, cfg, mesh, apply_filter
+            )
+            aucs.append((ti, vi, auc))
+            if verbose:
+                print(f"[test={ti} val={vi}] auc={auc:.4f}")
     vals = [a for _, _, a in aucs]
     return {
         "pairs": aucs,
@@ -309,6 +370,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None,
                    help="override the reference's fixed seed 42")
     p.add_argument("--cache-embeddings", action="store_true")
+    p.add_argument("--fold-parallel", action="store_true",
+                   help="train ALL folds in one jitted program, folds "
+                        "sharded over the mesh (train/cv_parallel.py); "
+                        "pairs best with --cache-embeddings on fusion "
+                        "presets")
     p.add_argument("--k", type=int, default=10,
                    help="exhaustive mode: number of folds")
     p.add_argument("--max-pairs", type=int, default=None,
@@ -355,13 +421,17 @@ def main(argv=None):
     mesh = make_mesh(cfg.mesh)
     if args.mode == "nested":
         out = with_cache_recovery(
-            lambda: nested_cv(build_model_and_task, cohort, cfg, mesh=mesh)
+            lambda: nested_cv(
+                build_model_and_task, cohort, cfg, mesh=mesh,
+                fold_parallel=args.fold_parallel,
+            )
         )
     else:
         out = with_cache_recovery(
             lambda: exhaustive_cv(
                 build_model_and_task, cohort, cfg, k=args.k, mesh=mesh,
                 max_pairs=args.max_pairs,
+                fold_parallel=args.fold_parallel,
             )
         )
     def clean(v):
