@@ -124,6 +124,21 @@ def _fold_auc(
     return float(M.auroc(jnp.asarray(probs), jnp.asarray(ev.labels)))
 
 
+def _check_fold_parallel_schedule(tcfg) -> None:
+    """Early rejection of schedules the fold-parallel program cannot
+    express (per-fold step counts — onecycle), BEFORE the expensive
+    per-fold preparation; run_fold_parallel re-checks defensively.
+    PARITY.md 'Fold-parallel CV scope'."""
+    if tcfg.schedule != "constant":
+        raise ValueError(
+            "fold-parallel CV supports the constant+plateau schedule "
+            f"(the reference CV protocol); got "
+            f"schedule={tcfg.schedule!r}. Schedules with per-fold step "
+            "counts (onecycle) need the sequential harness "
+            "(PARITY.md 'Fold-parallel CV scope')."
+        )
+
+
 def nested_cv(
     make_model_task: Callable,
     cohort: SyntheticCohort,
@@ -153,13 +168,17 @@ def nested_cv(
     if fold_parallel:
         from ecgmm_tpu.train import cv_parallel
 
+        # fail BEFORE prepare_folds: an unsupported schedule would
+        # otherwise waste the per-fold scaler refits / materialization /
+        # embedding precompute before run_fold_parallel rejects it
+        _check_fold_parallel_schedule(t)
         flat = [s for _, _, inner in groups for s in inner]
-        task, tx, state0, fold_arrays = cv_parallel.prepare_folds(
+        task, tx, state0, pack = cv_parallel.prepare_folds(
             make_model_task, cohort, flat, cfg, mesh=mesh,
             apply_filter=apply_filter,
         )
         res = cv_parallel.run_fold_parallel(
-            task, tx, state0, fold_arrays, t, mesh=mesh
+            task, tx, state0, pack, t, mesh=mesh, verbose=verbose
         )
         outer_aucs, i = [], 0
         for fold_id, _, inner_splits in groups:
@@ -221,12 +240,13 @@ def exhaustive_cv(
     if fold_parallel:
         from ecgmm_tpu.train import cv_parallel
 
-        task, tx, state0, fold_arrays = cv_parallel.prepare_folds(
+        _check_fold_parallel_schedule(cfg.train)
+        task, tx, state0, pack = cv_parallel.prepare_folds(
             make_model_task, cohort, [s for _, _, s in pairs], cfg,
             mesh=mesh, apply_filter=apply_filter,
         )
         res = cv_parallel.run_fold_parallel(
-            task, tx, state0, fold_arrays, cfg.train, mesh=mesh
+            task, tx, state0, pack, cfg.train, mesh=mesh, verbose=verbose
         )
         for (ti, vi, _), auc in zip(pairs, res.aucs):
             aucs.append((ti, vi, auc))

@@ -65,6 +65,126 @@ def _encode_split(model, variables, images, signals, clinical, idx_mat,
     return outs
 
 
+def _image_branch(m, img):
+    """Image-encoder half of encode_raw (models/fusion.py) — the raw
+    pre-LayerNorm image embedding. Fold-invariant: the encoder is frozen
+    and runs eval-mode, and CV folds never re-scale images, so ONE
+    cohort-wide encode serves every fold (train/cv_parallel.py)."""
+    return m.image_encoder(img, train=False).astype(jnp.float32)
+
+
+def _sigcli_branch(m, sig, cli):
+    """Signal+clinical half of encode_raw — per-fold inputs (the fold's
+    refit scalers transform signals/clinical, reference
+    train_kfold.py:26-29), so CV re-encodes these per fold."""
+    if sig.ndim == 2:
+        sig = sig[..., None]
+    s = m.signal_encoder(sig, train=False).astype(jnp.float32)
+    c = m.clinical_encoder(cli, train=False)
+    if isinstance(c, tuple):
+        c = c[0]
+    return s, c.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _encode_images_split(model, variables, images, idx_mat, dtype):
+    def body(_, idx):
+        img = model.apply(
+            variables, normalize_images(jnp.take(images, idx, axis=0),
+                                        dtype),
+            method=_image_branch,
+        )
+        return None, img
+
+    _, out = jax.lax.scan(body, None, idx_mat)
+    return out
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _encode_sigcli_split(model, variables, signals, clinical, idx_mat):
+    def body(_, idx):
+        out = model.apply(
+            variables, jnp.take(signals, idx, axis=0),
+            jnp.take(clinical, idx, axis=0),
+            method=_sigcli_branch,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, idx_mat)
+    return outs
+
+
+def _encode_rows(encode, n: int, batch_size: int):
+    """Shared plan/flatten wrapper for the cohort-wise branch encoders:
+    batch a row range with epoch_indices (no shuffle), run `encode`
+    (a fn of the (B, bs) idx matrix), strip the pad rows."""
+    idx_mat, _ = epoch_indices(n, batch_size, shuffle=False, seed=0,
+                               epoch=0)
+    outs = encode(jnp.asarray(idx_mat))
+
+    def flat(x):
+        return x.reshape(-1, x.shape[-1])[:n]
+
+    return jax.tree.map(flat, outs)
+
+
+def encode_image_cohort(model, state: TrainState, images, batch_size: int):
+    """Encode the WHOLE cohort's images once → (N, image_dim) float32.
+
+    Row-wise deterministic (frozen encoder, eval-mode BN), so gathering
+    fold rows from this single array is exactly the per-fold encode the
+    sequential cached path performs — without re-running the ResNet18
+    forward F times over the same pixels."""
+    from ecgmm_tpu.workloads.tasks import _compute_dtype
+
+    variables = {"params": state.params, **state.model_state}
+    return _encode_rows(
+        lambda idx: _encode_images_split(
+            model, variables, jnp.asarray(images), idx,
+            _compute_dtype(model),
+        ),
+        len(images), batch_size,
+    )
+
+
+def encode_sigcli_rows(model, state: TrainState, signals, clinical,
+                       batch_size: int):
+    """Encode (rows, T) signals + (rows, C) clinical → raw signal /
+    clinical embeddings, one scan dispatch. Used by the fold-parallel
+    harness on the flattened (F·N, …) per-fold-transformed inputs."""
+    variables = {"params": state.params, **state.model_state}
+    return _encode_rows(
+        lambda idx: _encode_sigcli_split(
+            model, variables,
+            jnp.asarray(np.asarray(signals, np.float32)),
+            jnp.asarray(np.asarray(clinical, np.float32)), idx,
+        ),
+        len(signals), batch_size,
+    )
+
+
+def cache_applies(model, train_cfg, frozen: bool) -> bool:
+    """Whether the cached-embedding fast path applies — and warn loudly
+    when the flag is set but its preconditions do not hold, so a user
+    never silently measures the slow path believing it cached. Shared by
+    the engine wiring (maybe_cache_fusion_embeddings) and the
+    fold-parallel harness (cv_parallel.prepare_folds)."""
+    from ecgmm_tpu.models.fusion import ECGMultimodalModel
+
+    if not train_cfg.cache_embeddings:
+        return False
+    if not isinstance(model, ECGMultimodalModel) or not frozen:
+        warnings.warn(
+            "cache_embeddings=True ignored: the fast path needs a fusion "
+            "model with frozen encoders (got "
+            f"{type(model).__name__}, frozen={frozen}); training takes "
+            "the uncached parity path.",
+            stacklevel=3,
+        )
+        return False
+    return True
+
+
 def precompute_fusion_embeddings(
     model, state: TrainState, arrays: Arrays, batch_size: int, mesh=None,
 ) -> Arrays:
@@ -147,19 +267,9 @@ def maybe_cache_fusion_embeddings(
 
     `splits` is a {name: Arrays} dict; order and names are preserved.
     """
-    from ecgmm_tpu.models.fusion import ECGMultimodalModel
     from ecgmm_tpu.workloads.tasks import make_fusion_head_task
 
-    if not train_cfg.cache_embeddings:
-        return splits, None
-    if not isinstance(model, ECGMultimodalModel) or not frozen:
-        warnings.warn(
-            "cache_embeddings=True ignored: the fast path needs a fusion "
-            "model with frozen encoders (got "
-            f"{type(model).__name__}, frozen={frozen}); training takes "
-            "the uncached parity path.",
-            stacklevel=2,
-        )
+    if not cache_applies(model, train_cfg, frozen):
         return splits, None
     new_splits = {
         name: precompute_fusion_embeddings(
