@@ -189,6 +189,25 @@ def fusion_modal_balance_preset() -> Config:
     return Config(name="fusion_modal_balance", model=ModelConfig.modal_balance())
 
 
+def fusion_cached_preset() -> Config:
+    """Trimodal fusion training over CACHED frozen-encoder embeddings —
+    the fastest correct fusion recipe, first-class.
+
+    The reference freezes all three encoders and trains only the fusion
+    surface (train.py:35-43) yet re-runs the frozen encoders every batch
+    of every epoch; this preset precomputes each split's raw embeddings
+    once (train/embed.py) and trains epochs at head-only FLOPs (~40×
+    less). Deviation from bit-parity: cached encoders run in EVAL mode
+    (PARITY.md 'Cached-embedding fusion training') — defensible exactly
+    because the encoders are frozen; `fusion` remains the parity preset.
+    Measured end-to-end on the chip in BASELINE.md ('fusion_cached
+    preset')."""
+    return Config(
+        name="fusion_cached",
+        train=TrainConfig(cache_embeddings=True),
+    )
+
+
 def image_only_preset() -> Config:
     """Image-only ResNet18 (reference train_image_only.py): bs 16,
     constant lr 1e-4, CE, early stop 5; unlike train.py it has NO
@@ -317,6 +336,7 @@ def physionet_transformer_preset() -> Config:
 PRESETS = {
     "fusion": fusion_preset,
     "fusion_modal_balance": fusion_modal_balance_preset,
+    "fusion_cached": fusion_cached_preset,
     "image_only": image_only_preset,
     "signal_only": signal_only_preset,
     "ptbxl_af": ptbxl_preset,

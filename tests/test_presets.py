@@ -44,6 +44,20 @@ def test_fusion_preset_matches_train_py():
     assert m.clinical_encoder == "tabnet" and m.clinical_in_features == 2
 
 
+def test_fusion_cached_preset_is_fusion_plus_cache():
+    """fusion_cached = the fusion recipe with cache_embeddings=True —
+    identical reference hyperparameters (train.py:35-43), only the
+    frozen-encoder forward is precomputed (train/embed.py; PARITY.md
+    'Cached-embedding fusion training')."""
+    import dataclasses
+
+    cfg = get_preset("fusion_cached")
+    assert cfg.train.cache_embeddings
+    assert dataclasses.replace(cfg.train, cache_embeddings=False) == \
+        get_preset("fusion").train
+    assert cfg.model == get_preset("fusion").model
+
+
 def test_modal_balance_preset_matches_paper_variant():
     """multimodal_paper_modal_balance.py:197-263: 256^3 dims, 24-feature
     MLP clinical encoder; trainer loop identical to train.py."""

@@ -36,7 +36,7 @@ ALL_PRESETS = [
     "signal_only", "signal_af", "signal_arr", "signal_12lead",
     "ptbxl_af", "physionet", "physionet_multi", "physionet_crnn",
     "physionet_transformer", "image_only", "fusion",
-    "fusion_modal_balance",
+    "fusion_modal_balance", "fusion_cached",
 ]
 
 
