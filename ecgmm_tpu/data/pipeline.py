@@ -19,6 +19,7 @@ Epoch iteration therefore does zero host→device copies of sample data.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Iterator, NamedTuple, Optional, Tuple
 
 import jax
@@ -584,25 +585,38 @@ def load_materialized(
     )
 
 
-def _row_uploader(sharding):
+def _row_uploader(sharding, timers: Optional[dict] = None):
     """Shared host-gather → dtype-cast → async device_put for the
     streaming paths. Returns put(array, rows, dtype) so prefetch_batches
     and prefetch_chunks apply identical conversions — the tested
-    bit-parity between the streaming modes depends on that."""
+    bit-parity between the streaming modes depends on that.
+
+    timers: optional dict accumulating host seconds spent in the numpy
+    fancy-gather+cast ('gather_s') vs the device_put call ('put_s' —
+    normally the async enqueue, but it blocks when the transfer queue is
+    full, so a large put_s means uploads are the bottleneck). Feeds the
+    streamed-epoch host profile (BASELINE.md 'streamed path')."""
 
     def put(a, rows, dtype=None):
         if a is None:
             return None
+        t0 = time.perf_counter() if timers is not None else 0.0
         out = np.asarray(a[rows])
         if dtype is not None:
             out = out.astype(dtype, copy=False)
+        t1 = time.perf_counter() if timers is not None else 0.0
         # device_put straight from host numpy: with a sharding this
         # splits across devices in ONE host→device transfer; staging
         # through jnp.asarray first would materialize an unsharded copy
         # on device 0 and double the transferred bytes (plus an extra
         # chunk-sized transient the HBM-budget accounting ignores).
-        return jax.device_put(out, sharding) if sharding is not None \
+        ret = jax.device_put(out, sharding) if sharding is not None \
             else jnp.asarray(out)
+        if timers is not None:
+            t2 = time.perf_counter()
+            timers["gather_s"] = timers.get("gather_s", 0.0) + (t1 - t0)
+            timers["put_s"] = timers.get("put_s", 0.0) + (t2 - t1)
+        return ret
 
     return put
 
@@ -669,6 +683,7 @@ def prefetch_chunks(
     mask_mat: np.ndarray,
     chunk_batches: int,
     mesh=None,
+    stats: Optional[dict] = None,
 ):
     """Super-chunked streaming: stage `chunk_batches` planned batches per
     host→device transfer and yield (chunk Arrays, per-chunk idx matrix,
@@ -686,19 +701,29 @@ def prefetch_chunks(
     matrix addresses rows WITHIN the chunk. At most two chunk shapes
     compile: the full K-batch chunk and one shorter tail.
 
-    One chunk is prefetched ahead (device_put is async), so chunk i+1
-    uploads while chunk i computes. Up to THREE chunks can coexist on
-    device (computing / dispatched behind it / uploading) — the engine
-    bounds the queue by syncing on the previous chunk's metrics, and
-    run.py's auto-K sizes chunks so the 3-deep transient stays within
-    half the HBM budget."""
-    import collections as _c
+    Chunks are STAGED ON A BACKGROUND THREAD: the host fancy-gather +
+    device_put of chunk i+1 runs while the dispatch thread computes
+    chunk i (numpy indexing and JAX transfers release the GIL, so the
+    overlap is real). The queue is bounded at one staged chunk, so at
+    most THREE chunks coexist on device (computing / staged / being
+    built) — the same 3-deep transient as before, which run.py's auto-K
+    sizes to stay within half the HBM budget; the engine additionally
+    syncs on the previous chunk's metrics.
+
+    stats: optional dict accumulating the host profile — 'gather_s'
+    (numpy fancy-gather + cast), 'put_s' (device_put enqueue; blocks
+    only when transfers are the bottleneck), 'chunks'. Both timers run
+    on the producer thread, so they measure staging COST, not critical-
+    path stall (the point of the thread is that this cost overlaps
+    compute)."""
+    import queue as _q
+    import threading as _t
 
     from ecgmm_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     n_batches = idx_mat.shape[0]
-    put = _row_uploader(sharding)
+    put = _row_uploader(sharding, timers=stats)
 
     def make(c0: int):
         c1 = min(c0 + chunk_batches, n_batches)
@@ -721,13 +746,51 @@ def prefetch_chunks(
         idx_dev = jnp.asarray(local_idx.reshape(k, idx_mat.shape[1]))
         mask_host = np.asarray(mask_mat[c0:c1], np.float32)
         mask_dev = jnp.asarray(mask_host)
+        if stats is not None:
+            stats["chunks"] = stats.get("chunks", 0) + 1
         return chunk, idx_dev, mask_dev, mask_host
 
     starts = list(range(0, n_batches, chunk_batches))
-    queue: "_c.deque" = _c.deque()
-    for s in starts[:1]:
-        queue.append(make(s))
-    for i, _ in enumerate(starts):
-        if i + 1 < len(starts):
-            queue.append(make(starts[i + 1]))
-        yield queue.popleft()
+    q: "_q.Queue" = _q.Queue(maxsize=1)
+    stop = _t.Event()
+
+    def send(item) -> bool:
+        """stop-aware bounded put; False once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _q.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for s in starts:
+                if not send(("chunk", make(s))):
+                    return
+            send(("done", None))
+        except BaseException as e:  # surfaced on the consumer thread
+            send(("error", e))
+
+    worker = _t.Thread(target=producer, daemon=True,
+                       name="ecgmm-chunk-stager")
+    worker.start()
+    try:
+        while True:
+            kind, item = q.get()
+            if kind == "done":
+                break
+            if kind == "error":
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the generator (exception / early break):
+        # unblock and retire the stager so it can't pin chunk buffers
+        stop.set()
+        while True:          # drain anything it managed to enqueue
+            try:
+                q.get_nowait()
+            except _q.Empty:
+                break
+        worker.join(timeout=5.0)

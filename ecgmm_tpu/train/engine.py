@@ -644,9 +644,10 @@ def _fit_loop(
             )
             n_batches = idx.shape[0]
             chunk_mets: List[Dict[str, Any]] = []
+            stream_stats: Dict[str, float] = {}
             for data_c, idx_c, mask_c, _ in prefetch_chunks(
                 train_arrays, idx, mask, cfg.stream_chunk_batches,
-                mesh=mesh,
+                mesh=mesh, stats=stream_stats,
             ):
                 state, tm_c = chunk_epoch(
                     state, _device_arrays(data_c), idx_c, mask_c
@@ -752,6 +753,13 @@ def _fit_loop(
         }
         if "var_loss" in val.metrics:
             scalars["VarLoss/Val"] = val.metrics["var_loss"]
+        if train_chunked:
+            # host cost of staging chunks (runs on the gather-ahead
+            # thread, so it OVERLAPS compute — cost, not critical path):
+            # numpy fancy-gather+cast vs device_put enqueue
+            scalars["Time/StreamGather"] = stream_stats.get("gather_s",
+                                                            0.0)
+            scalars["Time/StreamPut"] = stream_stats.get("put_s", 0.0)
         if "soft_weights" in last_mets:
             sw = np.asarray(last_mets["soft_weights"])
             scalars["AttentionWeights/Image_w"] = float(sw[0])
@@ -764,11 +772,16 @@ def _fit_loop(
             writer.scalars(epoch, {log_prefix + k: v for k, v in scalars.items()})
         history.append(dict(scalars, epoch=epoch))
         if verbose:
+            stream = (
+                f" gather={scalars['Time/StreamGather']:.2f}s"
+                f" put={scalars['Time/StreamPut']:.2f}s"
+                if train_chunked else ""
+            )
             print(
                 f"epoch {epoch + 1}/{cfg.num_epochs} "
                 f"train_loss={avg_train_loss:.4f} acc={train_acc:.4f} "
                 f"val_loss={val.loss:.4f} val_acc={val.accuracy:.4f} "
-                f"({epoch_time:.1f}s)"
+                f"({epoch_time:.1f}s{stream})"
             )
 
         state = dataclasses.replace(
