@@ -17,6 +17,16 @@ def _read(*rel):
         return f.read()
 
 
+def _server_source() -> str:
+    """The response-assembly source of truth (serve/pipeline.py — the
+    ServingPipeline side of the api.py facade)."""
+    with open(
+        os.path.join(REPO, "ecgmm_tpu", "serve", "pipeline.py"),
+        encoding="utf-8",
+    ) as f:
+        return f.read()
+
+
 def test_endpoint_matches_server():
     from ecgmm_tpu.serve.api import ENDPOINT
 
@@ -46,10 +56,7 @@ def test_result_fields_match_serving_response():
     (built in serve/api.py predict())."""
     api_ts = _read("lib", "api.ts")
     result_tsx = _read("app", "result.tsx")
-    with open(
-        os.path.join(REPO, "ecgmm_tpu", "serve", "api.py"), encoding="utf-8"
-    ) as f:
-        server = f.read()
+    server = _server_source()
     for field in ("label", "probability", "ecg_signal", "heatmap",
                   "feature_importance", "gpt_result", "digitization"):
         assert field in api_ts, field
@@ -71,10 +78,7 @@ def test_label_type_pinned_to_string_union():
     change can't silently flip every mobile verdict (the reference app
     expected numeric label===1, ResultScreen.tsx:175; this repo's
     deliberate string contract is a PARITY.md row)."""
-    with open(
-        os.path.join(REPO, "ecgmm_tpu", "serve", "api.py"), encoding="utf-8"
-    ) as f:
-        server = f.read()
+    server = _server_source()
     assert 'label = "Abnormal" if pred == 1 else "Normal"' in server
     assert "label: 'Normal' | 'Abnormal'" in _read("lib", "api.ts")
     assert "data.label === 'Abnormal'" in _read("app", "result.tsx")
@@ -117,3 +121,145 @@ def test_typescript_typecheck_when_toolchain_available():
         cmd, cwd=MOBILE, capture_output=True, text=True, timeout=300
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# No-toolchain verification floor (this image can never run node): a
+# Python-side lint that makes the ~700 LoC of TSX impossible to break
+# TRIVIALLY — unresolvable imports, contract drift between the client's
+# AnalysisResult type and the server response, or inconsistent packaging
+# metadata — even though it cannot type-check.
+# ---------------------------------------------------------------------------
+
+_TS_EXTS = (".ts", ".tsx")
+
+
+def _mobile_sources():
+    out = {}
+    for root, dirs, files in os.walk(MOBILE):
+        dirs[:] = [d for d in dirs if d != "node_modules"]
+        for f in files:
+            if f.endswith(_TS_EXTS):
+                p = os.path.join(root, f)
+                with open(p, encoding="utf-8") as fh:
+                    out[os.path.relpath(p, MOBILE)] = fh.read()
+    return out
+
+
+def _imports(src: str):
+    """All import module specifiers: `import … from 'X'`, `import 'X'`,
+    `export … from 'X'`, `require('X')`."""
+    pats = [
+        r"import\s+(?:type\s+)?[\w{}*,\s]+?\s+from\s+['\"]([^'\"]+)['\"]",
+        r"import\s+['\"]([^'\"]+)['\"]",
+        r"export\s+[\w{}*,\s]+?\s+from\s+['\"]([^'\"]+)['\"]",
+        r"require\(['\"]([^'\"]+)['\"]\)",
+    ]
+    found = []
+    for p in pats:
+        found.extend(re.findall(p, src))
+    return found
+
+
+def _resolves_local(base_dir: str, spec: str) -> bool:
+    target = os.path.normpath(os.path.join(MOBILE, base_dir, spec))
+    if os.path.isfile(target) and target.endswith(_TS_EXTS):
+        return True
+    for ext in _TS_EXTS + (".js", ".json"):
+        if os.path.isfile(target + ext):
+            return True
+    return any(
+        os.path.isfile(os.path.join(target, "index" + ext))
+        for ext in _TS_EXTS
+    )
+
+
+def test_mobile_import_graph_resolves():
+    """Every local import in mobile/**/*.ts(x) must resolve to a file
+    (with TS extension/index conventions, incl. the tsconfig '@/'
+    alias), and every package import's root must be a declared
+    package.json dependency — a renamed/deleted module or a missing dep
+    fails here, not on a phone."""
+    import json as _json
+
+    pkg = _json.loads(_read("package.json"))
+    deps = set(pkg.get("dependencies", {})) | set(
+        pkg.get("devDependencies", {})
+    )
+    srcs = _mobile_sources()
+    assert len(srcs) >= 7, sorted(srcs)  # the app's known module count
+    for rel, src in srcs.items():
+        base = os.path.dirname(rel)
+        for spec in _imports(src):
+            if spec.startswith("."):
+                assert _resolves_local(base, spec), (
+                    f"{rel}: unresolvable local import {spec!r}"
+                )
+            elif spec.startswith("@/"):
+                # tsconfig paths alias '@/*' → './*'
+                assert _resolves_local("", spec[2:]), (
+                    f"{rel}: unresolvable aliased import {spec!r}"
+                )
+            else:
+                root = "/".join(spec.split("/")[:2]) \
+                    if spec.startswith("@") else spec.split("/")[0]
+                assert root in deps or root in ("react",), (
+                    f"{rel}: package import {spec!r} not in "
+                    "package.json dependencies"
+                )
+
+
+def test_analysis_result_type_matches_server_response():
+    """Every field of the client's AnalysisResult interface must be a
+    key the server actually emits (serve/pipeline.py response dict), and
+    every always-present server key must be typed on the client — the
+    wire contract can't drift in either direction."""
+    api_ts = _read("lib", "api.ts")
+    m = re.search(
+        r"interface AnalysisResult \{(.*?)\n\}", api_ts, re.S
+    )
+    assert m, "AnalysisResult interface not found in lib/api.ts"
+    client_fields = set(re.findall(r"^\s{2}(\w+)\??:", m.group(1), re.M))
+    assert client_fields, "no fields parsed from AnalysisResult"
+    server = _server_source()
+    rm = re.search(r"\n        resp = \{(.*?)\n        \}", server, re.S)
+    assert rm, "response dict not found in serve/pipeline.py"
+    always = set(re.findall(r'"(\w+)":', rm.group(1)))
+    # keys attached only for non-default heatmap_format requests
+    # (resp["…"] = …) — the app never requests those, so the client may
+    # omit them but must not invent fields beyond always ∪ conditional
+    conditional = set(re.findall(r'resp\["(\w+)"\] =', server))
+    unknown = client_fields - always - conditional
+    assert not unknown, (
+        f"client types fields the server never emits: {unknown}"
+    )
+    untyped_on_client = always - client_fields
+    assert not untyped_on_client, (
+        f"server always emits fields the client type misses: "
+        f"{untyped_on_client}"
+    )
+
+
+def test_packaging_metadata_consistent():
+    """package.json / app.json / tsconfig.json must agree: every expo
+    plugin and the router entry are declared dependencies, the pinned
+    Expo SDK matches its react-native/react pairing (SDK 53 ⇒ RN 0.79 /
+    React 19), and the tsconfig alias used by the import lint exists."""
+    import json as _json
+
+    pkg = _json.loads(_read("package.json"))
+    app = _json.loads(_read("app.json"))["expo"]
+    ts = _json.loads(_read("tsconfig.json"))
+    deps = pkg["dependencies"]
+    for plugin in app.get("plugins", []):
+        name = plugin[0] if isinstance(plugin, list) else plugin
+        assert name in deps, f"app.json plugin {name} not a dependency"
+    assert pkg["main"].split("/")[0] in deps        # expo-router/entry
+    assert deps["expo"].startswith("53."), deps["expo"]
+    assert deps["react-native"].startswith("0.79."), deps["react-native"]
+    assert deps["react"].startswith("19."), deps["react"]
+    assert pkg["devDependencies"]["typescript"].startswith("5.")
+    url = app["extra"]["serverUrl"]
+    assert re.match(r"^https?://[\w.:-]+$", url), url
+    assert "@/*" in ts["compilerOptions"]["paths"]
+    assert pkg["scripts"]["typecheck"] == "tsc --noEmit"
