@@ -4,12 +4,16 @@ The backend the reference's mobile app expects but the reference repo
 never ships (SURVEY.md §0: the app POSTs to
 `http://…:8080/api/public/upload-ecgImage-lead2only`,
 `Groove/components/SubmitButton.tsx:35-48`). The implementation lives in
-two modules behind this unchanged import surface:
+four modules behind this unchanged import surface:
 
   * ecgmm_tpu/serve/pipeline.py — ServingPipeline: digitize → infer →
     Grad-CAM → SHAP → report as one shape-cached jitted program, plus
-    multipart codec, micro-batching glue, AOT-bundle load, and the
-    Prometheus counter state;
+    micro-batching glue and the Prometheus counter state;
+  * ecgmm_tpu/serve/loaders.py — pipeline assembly: checkpointed-run,
+    demo, and AOT-bundle constructors (surfaced as ServingPipeline
+    classmethods);
+  * ecgmm_tpu/serve/wire.py — endpoint path, multipart codec,
+    questionnaire coercion, BadRequest;
   * ecgmm_tpu/serve/http.py — the HTTP transport: endpoint handler,
     /metrics text exposition, landing page, SIGTERM/SIGINT graceful
     drain, and the `ecgmm-serve` CLI.

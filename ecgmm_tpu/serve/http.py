@@ -19,12 +19,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ecgmm_tpu.serve import digitize as digitize_mod
-from ecgmm_tpu.serve.pipeline import (
-    ENDPOINT,
-    BadRequest,
-    ServingPipeline,
-    parse_multipart,
-)
+from ecgmm_tpu.serve.pipeline import ServingPipeline
+from ecgmm_tpu.serve.wire import ENDPOINT, BadRequest, parse_multipart
 
 
 # Upper bound on accepted request bodies (the app uploads one phone photo

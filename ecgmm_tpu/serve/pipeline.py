@@ -3,15 +3,16 @@
 The compute core of the serving backend the reference's mobile app
 expects but the reference repo never ships (SURVEY.md §0: the app POSTs
 to `http://…:8080/api/public/upload-ecgImage-lead2only`,
-`Groove/components/SubmitButton.tsx:35-48`). This module owns everything
-request-shaped but transport-free: multipart encode/parse, the
-`ServingPipeline` (model build/AOT load, the shape-cached jitted request
-program, packing, micro-batching glue, warmup, Prometheus counter state),
-and the response assembly matching the ResultScreen contract
-(`Groove/app/(tabs)/ResultScreen.tsx:26-56`). The HTTP transport around
-it — handler, /metrics exposition, graceful drain — lives in
-ecgmm_tpu/serve/http.py; ecgmm_tpu/serve/api.py re-exports both for
-compatibility.
+`Groove/components/SubmitButton.tsx:35-48`). This module owns the
+request-path compute: the `ServingPipeline` (the shape-cached jitted
+request program, output packing, micro-batching glue, warmup, Prometheus
+counter state) and the response assembly matching the ResultScreen
+contract (`Groove/app/(tabs)/ResultScreen.tsx:26-56`). Around it:
+assembly recipes in ecgmm_tpu/serve/loaders.py (checkpointed run / demo
+/ AOT bundle), the wire codec in ecgmm_tpu/serve/wire.py, and the HTTP
+transport — handler, /metrics exposition, graceful drain — in
+ecgmm_tpu/serve/http.py; ecgmm_tpu/serve/api.py re-exports the whole
+surface for compatibility.
 
 Pipeline per request: digitize the strip → preprocess → trimodal fusion
 forward (single jitted call, cached by shape) → Grad-CAM on the image
@@ -20,10 +21,6 @@ branch → gradient-SHAP modality attribution → report generation.
 
 from __future__ import annotations
 
-import base64
-import io
-import json
-import re
 import threading
 import time
 from functools import partial
@@ -35,104 +32,23 @@ import numpy as np
 
 from ecgmm_tpu.config import ModelConfig
 from ecgmm_tpu.data import preprocess
-from ecgmm_tpu.serve import batching
-from ecgmm_tpu.explain.gradcam import _jet_lut, overlay_heatmap
-from ecgmm_tpu.explain.shap_fusion import modality_contributions
 from ecgmm_tpu.models import ECGMultimodalModel
-from ecgmm_tpu.serve import digitize as digitize_mod
-from ecgmm_tpu.serve.report import rule_based_report
-
-ENDPOINT = "/api/public/upload-ecgImage-lead2only"
+from ecgmm_tpu.serve import batching
+from ecgmm_tpu.serve import request as request_host
+from ecgmm_tpu.serve.request import _native_heatmap  # noqa: F401 (re-export)
+from ecgmm_tpu.serve.wire import (  # noqa: F401  (re-exported surface)
+    ENDPOINT,
+    BadRequest,
+    _sex_from_questionnaire,
+    encode_multipart,
+    parse_multipart,
+)
 
 # /metrics latency-histogram bucket upper bounds, in seconds. Spans the
 # measured serving envelope (BASELINE.md: ~56 ms cam … ~130 ms png warm,
 # seconds when cold/under load) with Prometheus-convention powers of two.
 LATENCY_BUCKETS = (0.025, 0.05, 0.1, 0.2, 0.4, 0.8, 1.6, 3.2, 6.4,
                    float("inf"))
-
-
-def _native_heatmap():
-    """The native overlay/PNG kernels (ecgmm_tpu/native/heatmap.cpp), or
-    None — the PIL/numpy path below remains the fallback. The C++ render
-    fuses the CAM bilinear upsample with the jet blend (bit-identical to
-    the fallback, tests/test_native_heatmap.py) and encodes the PNG with
-    band-parallel deflate, all with the GIL released, so concurrent
-    requests stop serializing on the heatmap the way they used to on the
-    digitizer. `ECGMM_NO_NATIVE_HEATMAP=1` forces the PIL path."""
-    try:
-        from ecgmm_tpu import native
-
-        return native.maybe("ECGMM_NO_NATIVE_HEATMAP", need="heatmap")
-    except Exception:
-        return None
-
-
-def _sex_from_questionnaire(q: Dict) -> Optional[str]:
-    """The questionnaire form posts the radio key 'gender' ('0'=male,
-    '1'=female — QuestionnaireForm field schema); accept an explicit
-    'sex' string too. Round-2 review finding: reading only 'sex' rendered
-    '성별 None' in every report generated from the app."""
-    sex = q.get("sex")
-    if sex not in (None, ""):
-        return str(sex)
-    return {"0": "M", "1": "F"}.get(str(q.get("gender", "")))
-
-
-def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
-    """Minimal multipart/form-data parser (stdlib cgi is deprecated)."""
-    m = re.search(r'boundary="?([^";]+)"?', content_type)
-    if not m:
-        raise ValueError("no multipart boundary")
-    boundary = m.group(1).encode()
-    parts = body.split(b"--" + boundary)
-    fields: Dict[str, bytes] = {}
-    for part in parts:
-        # exactly ONE delimiter CRLF on each side — bytes.strip(b"\r\n")
-        # would eat every trailing 0x0D/0x0A byte of the CONTENT too,
-        # corrupting binary fields that legitimately end in CR/LF
-        if part.startswith(b"\r\n"):
-            part = part[2:]
-        if part.endswith(b"\r\n"):
-            part = part[:-2]
-        if not part or part == b"--":
-            continue
-        if b"\r\n\r\n" not in part:
-            continue
-        header_blob, content = part.split(b"\r\n\r\n", 1)
-        nm = re.search(rb'name="([^"]+)"', header_blob)
-        if nm:
-            fields[nm.group(1).decode()] = content
-    return fields
-
-
-def encode_multipart(
-    fields: Dict[str, Tuple[Optional[str], bytes]],
-    boundary: str = "ecgmmboundary42",
-) -> Tuple[bytes, str]:
-    """Inverse of parse_multipart: {name: (filename|None, content)} →
-    (body, Content-Type). The single encoder shared by the client tools
-    and the HTTP tests, so both stay in sync with the parser. If any
-    field's raw bytes happen to contain the boundary (possible for
-    arbitrary binary like compressed JPEGs), the boundary is lengthened
-    until it collides with nothing — a fixed unchecked boundary would
-    silently truncate the upload at the parser."""
-    blobs = [content for _, content in fields.values()]
-    while any(boundary.encode() in c for c in blobs):
-        boundary += "x"
-    lines = []
-    for name, (filename, content) in fields.items():
-        lines.append(f"--{boundary}".encode())
-        disp = f'Content-Disposition: form-data; name="{name}"'
-        if filename:
-            disp += f'; filename="{filename}"'
-        lines.append(disp.encode())
-        lines.append(b"")
-        lines.append(content)
-    lines.append(f"--{boundary}--".encode())
-    return (
-        b"\r\n".join(lines),
-        f"multipart/form-data; boundary={boundary}",
-    )
 
 
 def _pack_outputs(outs, batched: bool):
@@ -566,153 +482,31 @@ class ServingPipeline:
         self._predict_all = partial(jax.jit(predict_all), w)
         self._predict_many = partial(jax.jit(predict_many), w)
 
+    # -- constructors (assembly recipes live in serve/loaders.py) --------
+
     @classmethod
-    def from_run(
-        cls,
-        run_dir: str,
-        data,
-        model: Optional[ECGMultimodalModel] = None,
-        which: str = "best",
-        train_cfg=None,
-    ) -> "ServingPipeline":
-        """Production assembly: a fusion training run's checkpoint
-        (workloads.run / workloads.pretrain output) + the run's fitted
-        scalers + real background embeddings from its train split.
+    def from_run(cls, run_dir: str, data,
+                 model: Optional[ECGMultimodalModel] = None,
+                 which: str = "best", train_cfg=None) -> "ServingPipeline":
+        """Checkpointed-run assembly — see loaders.pipeline_from_run."""
+        from ecgmm_tpu.serve.loaders import pipeline_from_run
 
-        train_cfg must match the run's TrainConfig closely enough to
-        rebuild the same optimizer-state structure (orbax restores into a
-        matching skeleton); the fusion preset default usually does."""
-        from ecgmm_tpu.config import TrainConfig
-        from ecgmm_tpu.data.pipeline import normalize_images
-        from ecgmm_tpu.train.checkpoint import CheckpointManager
-        from ecgmm_tpu.train.optim import make_optimizer
-        from ecgmm_tpu.train.state import create_state, \
-            encoder_freeze_predicate
-
-        train_cfg = train_cfg or TrainConfig()
-        model = model or ECGMultimodalModel(cfg=ModelConfig())
-        sig_len = data.train.signals.shape[-1]
-        n_clin = data.train.clinical.shape[-1]
-        img_hw = data.train.images.shape[1:3]
-        from ecgmm_tpu.models import jit_init
-
-        variables = jit_init(
-            model, jax.random.PRNGKey(0),
-            jnp.ones((1,) + tuple(img_hw) + (3,)),
-            jnp.ones((1, sig_len)), jnp.ones((1, n_clin)),
-        )
-        skeleton = create_state(
-            variables,
-            make_optimizer(train_cfg, steps_per_epoch=1),
-            jax.random.PRNGKey(0),
-            freeze_predicate=(
-                encoder_freeze_predicate if train_cfg.freeze_encoders
-                else None
-            ),
-        )
-        ckpt = CheckpointManager(run_dir)
-        state = ckpt.restore(which, skeleton)
-        trained = {"params": state.params, **state.model_state}
-
-        # fitted softmax temperature for this tag, if the run calibrated
-        # (workloads.run saves one per best/last tag; train/calibrate.py)
-        temperature = 1.0
-        if ckpt.exists("calibration"):
-            calib = ckpt.restore(
-                "calibration",
-                {"temperature_best": 1.0, "temperature_last": 1.0},
-            )
-            temperature = float(calib.get(f"temperature_{which}", 1.0))
-
-        # real class-balanced background embeddings from the train split
-        pipe = cls(
-            model, trained,
-            ecg_scaler=data.ecg_scaler,
-            clinical_scaler=data.clinical_scaler,
-            signal_len=sig_len, img_hw=tuple(img_hw),
-            temperature=temperature,
-        )
-        emb = np.asarray(pipe._encode(
-            normalize_images(data.train.images[:64]),
-            data.train.signals[:64], data.train.clinical[:64],
-        ))
-        pipe.background = emb
-        pipe._build_jitted()  # rebind SHAP to the real background
-        return pipe
+        return pipeline_from_run(cls, run_dir, data, model, which,
+                                 train_cfg)
 
     @classmethod
     def demo(cls) -> "ServingPipeline":
-        """Self-contained demo: fusion model with the shipped PTB-XL
-        signal-encoder weights warm-started and random heads."""
-        from ecgmm_tpu.tools import convert_pth
+        """Self-contained demo — see loaders.demo_pipeline."""
+        from ecgmm_tpu.serve.loaders import demo_pipeline
 
-        mcfg = ModelConfig(dtype="float32")
-        model = ECGMultimodalModel(cfg=mcfg)
-        from ecgmm_tpu.models import jit_init
-
-        variables = jit_init(
-            model, jax.random.PRNGKey(0),
-            jnp.ones((1, 224, 224, 3)), jnp.ones((1, 2476)),
-            jnp.ones((1, 2)),
-        )
-        try:
-            src = convert_pth.convert_resnet1d_se(
-                convert_pth.load_torch_state_dict(
-                    "/root/reference/best_ptbxl.pth"
-                )
-            )
-            merged_params, _ = convert_pth.load_partial(
-                variables["params"]["signal_encoder"], src["params"],
-                exclude_prefixes=("head_out",),
-            )
-            variables = jax.tree_util.tree_map(lambda x: x, variables)
-            variables["params"]["signal_encoder"] = merged_params
-        except Exception as e:
-            # The demo still serves (random signal-encoder weights), but
-            # silently doing so is indistinguishable from the warm-started
-            # state — say it loudly.
-            import warnings
-
-            warnings.warn(
-                f"demo(): PTB-XL warm-start failed ({e!r}); serving "
-                "RANDOM signal-encoder weights"
-            )
-        return cls(model, variables)
+        return demo_pipeline(cls)
 
     @classmethod
     def from_exported(cls, bundle_dir: str) -> "ServingPipeline":
-        """Rehydrate a pipeline from an AOT deployment bundle
-        (serve/export.py): the deserialized StableHLO program — weights
-        baked in as constants — replaces the jitted request program, so
-        serving needs no model code, Flax init, or checkpoint read and
-        cannot skew from the exporting run."""
-        from ecgmm_tpu.serve.export import _load_scaler, load_bundle
+        """AOT-bundle rehydrate — see loaders.pipeline_from_exported."""
+        from ecgmm_tpu.serve.loaders import pipeline_from_exported
 
-        predict_all, meta, host = load_bundle(bundle_dir)
-        pipe = cls.__new__(cls)
-        pipe.model = None
-        pipe.variables = None
-        pipe.ecg_scaler = _load_scaler(host, "ecg_scaler")
-        pipe.clinical_scaler = _load_scaler(host, "clinical_scaler")
-        pipe.signal_len = int(meta["signal_len"])
-        pipe.img_hw = tuple(meta["img_hw"])
-        pipe.dims = tuple(meta["dims"])
-        pipe.n_clin = int(meta["clinical_in_features"])
-        pipe.background = host["background"]
-        # informational only — the temperature is already baked into the
-        # exported program's constants
-        pipe.temperature = float(meta.get("temperature", 1.0))
-        pipe._predict_all = predict_all
-        pipe._batcher = None
-        pipe._init_stats()
-        # batched programs each carry a full weight copy — defer the
-        # deserialization to enable_batching() so unbatched serving never
-        # pays for them (only the cheap meta list is read here)
-        pipe._bundle_dir = bundle_dir
-        pipe._predict_many = None
-        buckets = meta.get("batch_buckets") or ()
-        pipe._exported_buckets = tuple(sorted(buckets)) or None
-        return pipe
+        return pipeline_from_exported(cls, bundle_dir)
 
     def _load_exported_batched(self) -> None:
         from ecgmm_tpu.serve.export import load_batched_programs
@@ -862,73 +656,11 @@ class ServingPipeline:
         entirely and return the raw low-res Grad-CAM grid under
         heatmap_cam for client-side rendering; heatmap is empty)."""
         _t0 = time.perf_counter()
-        # 1. digitize the uploaded strip into a voltage series (the
-        # metadata dict — scale source, grid pitch, crop, ink coverage
-        # — is forwarded to the client under "digitization" so it can
-        # warn when the photo had no calibrating grid)
-        mv, dig_info = digitize_mod.digitize_lead2_info(
-            image_u8, target_len=self.signal_len
-        )
-        # the image BRANCH must see the strip, not the table it was
-        # photographed on — feed the located crop to the encoder and
-        # render the Grad-CAM overlay on the same crop (the client
-        # displays heatmap over waveform, i.e. over the strip)
-        if dig_info["crop"] is not None:
-            y0, y1, x0, x1 = dig_info["crop"]
-            image_u8 = image_u8[y0:y1, x0:x1]
-
-        # 2. preprocess signal the training way — literally the same
-        # helper the offline materialisation uses (native C++ when
-        # available, JAX fallback), so serve-time inputs can't skew from
-        # train-time preprocessing
-        from ecgmm_tpu.data.pipeline import filter_signals_host
-
-        sig = mv[None, :]
-        if self.ecg_scaler is not None:
-            sig = np.asarray(self.ecg_scaler.transform(sig))
-        with jax.default_device(jax.devices("cpu")[0]):
-            sig = filter_signals_host(np.asarray(sig, np.float32))
-
-        # 3. model-resolution image + clinical vector
-        from PIL import Image
-
-        img = Image.fromarray(image_u8).resize(
-            (self.img_hw[1], self.img_hw[0]), Image.Resampling.BILINEAR
-        )
-        img_u8 = np.asarray(img)[None]
-        img_norm = img_u8.astype(np.float32) / 127.5 - 1.0
-
-        def qnum(key, default):
-            v = questionnaire.get(key, default)
-            if v is None or v == "":
-                return float(default)
-            try:
-                return float(v)
-            except (TypeError, ValueError):
-                # a malformed client field must be a 400, not a 500
-                raise BadRequest(
-                    f"questionnaire field {key!r} must be numeric, "
-                    f"got {v!r}"
-                )
-
-        age = qnum("age", 60)
-        wt = qnum("weight", 70)
-        # Clinical vector sized to the MODEL's feature width (the app
-        # only supplies age/weight; a modal-balance run has 24 features).
-        # Unknown features sit at the scaler's training mean, i.e. 0
-        # after standardisation — the neutral value.
-        raw = np.zeros((1, self.n_clin), np.float32)
-        if (self.clinical_scaler is not None
-                and np.size(self.clinical_scaler.mean) == self.n_clin):
-            raw[:] = np.asarray(self.clinical_scaler.mean, np.float32)
-        raw[0, 0] = age
-        if self.n_clin > 1:
-            raw[0, 1] = wt
-        clin = raw
-        if self.clinical_scaler is not None:
-            clin = np.asarray(
-                self.clinical_scaler.transform(raw), np.float32
-            )
+        # 1–3. digitize + train-identical preprocessing + questionnaire
+        # coercion (serve/request.py) — image_u8 comes back as the
+        # located strip crop when the digitizer found one
+        (img_norm, sig, clin, mv, dig_info, age, image_u8
+         ) = request_host.prepare_inputs(self, image_u8, questionnaire)
 
         # 4–6. forward + Grad-CAM + SHAP + per-feature clinical IG in ONE
         # device dispatch (see _predict_all) and ONE device→host readback
@@ -963,68 +695,14 @@ class ServingPipeline:
                 )
             )
         probs = np.asarray(probs_a)[0]
-        label = "Abnormal" if pred == 1 else "Normal"
 
-        # upsample the CAM to the original strip on the HOST (PIL bilinear
-        # on a float map — the CAM is 7x7-native so nothing is lost) and
-        # encode with the fastest zlib level: the previous device-side
-        # jax.image.resize + default-level PNG encode was 168 ms of a
-        # ~230 ms request, vs 36 ms for ALL the model work. The encode is
-        # still the single largest host cost (~23 ms of a ~155 ms warm
-        # request), so clients can opt out of it entirely ("cam") or take
-        # the ~10× cheaper JPEG encode ("jpeg").
-        cam_small = np.asarray(cam, np.float32)[0]
-        heatmap_b64 = ""
-        heatmap_cam = None
-        heatmap_mime = "image/png"
-        if heatmap_format == "cam":
-            heatmap_cam = cam_small.tolist()
-        else:
-            nat = _native_heatmap()
-            if nat is not None:
-                overlay = nat.cam_overlay(image_u8, cam_small, _jet_lut())
-            else:
-                cam_full = np.asarray(
-                    Image.fromarray(cam_small, mode="F").resize(
-                        (image_u8.shape[1], image_u8.shape[0]),
-                        Image.Resampling.BILINEAR,
-                    )
-                )
-                overlay = overlay_heatmap(image_u8, cam_full)
-            if heatmap_format == "jpeg":
-                buf = io.BytesIO()
-                Image.fromarray(overlay).save(buf, format="JPEG", quality=85)
-                heatmap_mime = "image/jpeg"
-                png_bytes = buf.getvalue()
-            elif nat is not None:
-                png_bytes = nat.png_encode(overlay, level=1)
-            else:
-                buf = io.BytesIO()
-                Image.fromarray(overlay).save(
-                    buf, format="PNG", compress_level=1
-                )
-                png_bytes = buf.getvalue()
-            heatmap_b64 = base64.b64encode(png_bytes).decode()
-
-        contrib = modality_contributions(np.asarray(attr), self.dims)
-        clin_pct = float(contrib["Clinical_%"][0])
-        # split the clinical chunk between age and wt by each input
-        # dimension's integrated-gradients attribution (not 50/50)
-        ca = np.abs(np.asarray(ca_a))
-        total = float(ca.sum())
-        share = ca / total if total > 0 else np.full(ca.shape, 1.0 / len(ca))
-        feature_importance = {
-            "image": float(contrib["Image_%"][0]),
-            "signal": float(contrib["Signal_%"][0]),
-            "age": clin_pct * float(share[0]),
-            "wt": clin_pct * float(share[1]),
-        }
-
-        # 7. clinical report (offline rule-based backend; the GPT-4o path
-        # in serve/report.py is used when the openai package is present)
-        gpt_result = rule_based_report(
-            mv, abnormal=(pred == 1), probability=float(probs[pred]),
-            age=age, sex=_sex_from_questionnaire(questionnaire),
+        # 7. heatmap encode + importance split + clinical report
+        # (serve/request.py)
+        resp = request_host.assemble_response(
+            self, mv=mv, dig_info=dig_info, image_u8=image_u8,
+            questionnaire=questionnaire, probs=probs, pred=pred,
+            cam=cam, attr=attr, ca_a=ca_a, age=age,
+            heatmap_format=heatmap_format,
         )
 
         _dt = time.perf_counter() - _t0
@@ -1035,23 +713,4 @@ class ServingPipeline:
                 if _dt <= _ub:
                     self._latency_hist[_i] += 1
                     break
-        resp = {
-            "label": label,
-            "probability": float(probs[pred]),
-            "ecg_signal": [
-                {"Voltage (mV)": float(v)} for v in mv[:: max(1, len(mv) // 500)]
-            ],
-            "heatmap": heatmap_b64,
-            "feature_importance": feature_importance,
-            "gpt_result": gpt_result,
-            "digitization": dig_info,
-        }
-        if heatmap_format == "jpeg":
-            resp["heatmap_mime"] = heatmap_mime
-        if heatmap_cam is not None:
-            resp["heatmap_cam"] = heatmap_cam
         return resp
-
-
-class BadRequest(ValueError):
-    """Client-side request defect → HTTP 400 with a JSON error body."""
