@@ -13,7 +13,7 @@ run() {
   "$@" > "/tmp/cvbench_${tag}.log" 2>&1
   local rc=$?
   local t1=$(date +%s.%N)
-  echo "CVBENCH ${tag} rc=${rc} wall_s=$(echo "$t1 - $t0" | bc)"
+  echo "CVBENCH ${tag} rc=${rc} wall_s=$(awk -v a="$t0" -v b="$t1" 'BEGIN{printf "%.1f", b-a}')"
 }
 B="python -m ecgmm_tpu.train.cv"
 N="--n-synth 244 --epochs 8"

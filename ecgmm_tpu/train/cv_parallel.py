@@ -40,7 +40,12 @@ the program's device bytes host-side (`fold_footprint`) against the HBM
 budget (`pipeline.resolve_hbm_budget`) and, when over, runs the folds in
 WAVES — ceil(F/W) sequential dispatches of the same compiled program with
 W folds each — or raises with guidance when even one fold per device
-cannot fit.
+cannot fit. Raw-modality programs are additionally wave-bounded by
+CONCURRENT SAMPLE ROWS (`_act_rows_cap`): a W-fold wave backprops an
+effective batch of W × batch_size through the full encoders, and those
+activation transients — not the data bytes — are what kill the device
+(measured: 240 rows fine, 1,440 rows crash the TPU worker; BASELINE.md
+"Fold-parallel CV on the chip").
 
 Semantics are the sequential engine's, replicated as masked in-device
 state (`train/engine.py:_fit_loop`, itself the reference's
@@ -121,6 +126,11 @@ class FoldPack:
     sig_scale: Optional[np.ndarray] = None
     cli_shift: Optional[np.ndarray] = None   # (F, C)
     cli_scale: Optional[np.ndarray] = None
+    # True when signals/clinical are cached frozen-encoder EMBEDDINGS
+    # (head-only FLOPs per step); False = raw modalities through full
+    # encoders, whose activation transients bound the wave size
+    # (_act_rows_cap)
+    cached_embeddings: bool = False
 
     @property
     def n_folds(self) -> int:
@@ -554,19 +564,49 @@ def _put_folds(tree, sharding):
     )
 
 
+def _act_rows_cap(pack: FoldPack) -> int:
+    """Per-device bound on CONCURRENT sample rows for raw-modality fold
+    programs (0 = uncapped). fold_footprint counts data + optimizer
+    state, but a W-fold wave runs an effective batch of W × batch_size
+    through the full encoders, and the backward pass's activation
+    transients scale with that — measured on the v5e chip: 15 raw fusion
+    folds × bs 16 = 240 rows in flight train fine, 90 folds = 1,440 rows
+    crash the TPU worker (BASELINE.md "Fold-parallel CV on the chip").
+    Caps: 256 rows with raw images in the pack (the flagship's validated
+    batch-size operating point, roofline close-out), 1024 for raw
+    signals/clinical only; cached-embedding packs are head-only FLOPs
+    with microscopic activations, so the data footprint governs.
+    `ECGMM_FOLD_PARALLEL_ROWS_CAP` overrides (0 disables)."""
+    import os
+
+    env = os.environ.get("ECGMM_FOLD_PARALLEL_ROWS_CAP")
+    if env is not None:
+        return max(0, int(env))
+    if pack.cached_embeddings:
+        return 0
+    if pack.images is not None and getattr(pack.images, "ndim", 0) >= 4:
+        return 256
+    return 1024
+
+
 def _wave_size(pack: FoldPack, state0: TrainState, plans_nbytes: int,
-               n_data: int, budget: int) -> int:
+               n_data: int, budget: int, batch_size: int) -> int:
     """Folds per program dispatch: all of them (padded to a data-axis
     multiple) when the estimated per-device footprint fits the HBM
-    budget, else the largest data-axis multiple that does. Raises with
-    numbers and guidance when even one fold per device cannot fit.
-    budget 0 = unknown/unlimited (resolve_hbm_budget: the relayed TPU
-    reports no bytes_limit — ECGMM_HBM_BUDGET_BYTES is the control
-    there)."""
+    budget AND the wave's concurrent rows fit the activation cap
+    (_act_rows_cap), else the largest data-axis multiple that does.
+    Raises with numbers and guidance when even one fold per device
+    cannot fit. budget 0 = unknown/unlimited (resolve_hbm_budget: the
+    relayed TPU reports no bytes_limit — ECGMM_HBM_BUDGET_BYTES is the
+    control there; the activation cap still applies)."""
     F = pack.n_folds
     w_full = -(-F // n_data) * n_data
+    w = w_full
+    cap = _act_rows_cap(pack)
+    if cap:
+        w = min(w, max(1, cap // max(1, batch_size)) * n_data)
     if not budget:
-        return w_full
+        return w
     shared, per_fold = fold_footprint(pack, state0)
     per_fold += plans_nbytes // max(1, F)
     per_dev = (budget - shared) // max(1, per_fold)
@@ -579,7 +619,7 @@ def _wave_size(pack: FoldPack, state0: TrainState, plans_nbytes: int,
             "magnitude), raise ECGMM_HBM_BUDGET_BYTES, or fall back to "
             "the sequential harness."
         )
-    return min(w_full, int(per_dev) * n_data)
+    return min(w, int(per_dev) * n_data)
 
 
 def run_fold_parallel(
@@ -637,7 +677,7 @@ def run_fold_parallel(
 
     W = _wave_size(
         pack, state0, sum(p.nbytes for p in plans), n_data,
-        resolve_hbm_budget(),
+        resolve_hbm_budget(), cfg.batch_size,
     )
     ids = list(range(n_real))
     while len(ids) % W:
@@ -645,8 +685,9 @@ def run_fold_parallel(
     waves = [ids[i:i + W] for i in range(0, len(ids), W)]
     if verbose and len(waves) > 1:
         print(
-            f"[fold-parallel] {n_real} folds exceed the HBM budget in one "
-            f"program — running {len(waves)} waves of {W}"
+            f"[fold-parallel] {n_real} folds exceed the per-dispatch "
+            f"budget (HBM bytes / activation rows) — running "
+            f"{len(waves)} waves of {W}"
         )
 
     # shared leaves: ONE device copy (replicated over the mesh)
@@ -833,6 +874,7 @@ def prepare_folds(
             clinical=np.asarray(cli_emb).reshape(F, N, -1),
             labels=labels, rows=rows,
             signals_stacked=True, clinical_stacked=True,
+            cached_embeddings=True,
         )
         return make_fusion_head_task(model, cfg.train), tx, state0, pack
 

@@ -418,3 +418,48 @@ def test_fold_parallel_rejects_model_axis_mesh():
         cv_parallel.run_fold_parallel(
             task, tx, state0, pack, cfg.train, mesh=mesh
         )
+
+
+def test_fold_parallel_activation_rows_cap(monkeypatch):
+    """Raw-modality programs are wave-bounded by concurrent sample rows,
+    not just data bytes: a W-fold wave backprops W x batch_size rows
+    through the full encoders, and on the real chip 1,440 rows crashed
+    the TPU worker where 240 trained fine (BASELINE.md 'Fold-parallel CV
+    on the chip'). Cached-embedding packs are head-only FLOPs and stay
+    uncapped; the env override wins over both defaults."""
+    cohort = synthetic.make_cohort(n=48, signal_len=128, img_hw=(8, 16))
+    cfg = _signal_cfg(num_epochs=1, batch_size=16)
+    folds = _inner_folds(cohort.labels)          # 4 folds
+    task, tx, state0, pack = cv_parallel.prepare_folds(
+        build_model_and_task, cohort, folds, cfg, mesh=None,
+        apply_filter=False,
+    )
+    plans_nbytes = 0
+
+    def wave(p, n_data=1, budget=0, bs=16):
+        return cv_parallel._wave_size(p, state0, plans_nbytes, n_data,
+                                      budget, bs)
+
+    # raw images in the pack -> 256-row cap -> 16 folds/wave at bs 16;
+    # small F stays a single full wave
+    assert cv_parallel._act_rows_cap(pack) == 256
+    assert wave(pack) == 4
+    big = dataclasses.replace(
+        pack, rows=[pack.rows[i % 4] for i in range(90)]
+    )
+    assert wave(big) == 16                       # 90 raw folds -> waves
+    assert wave(big, n_data=2) == 16 * 2         # cap is PER DEVICE
+    assert wave(big, n_data=8) == 96             # 12/device fits the cap
+    # signals-only raw pack (no images): 1024-row cap
+    nosig = dataclasses.replace(big, images=None)
+    assert cv_parallel._act_rows_cap(nosig) == 1024
+    assert wave(nosig) == 64
+    # cached-embedding pack: head-only FLOPs, uncapped
+    cached = dataclasses.replace(big, cached_embeddings=True)
+    assert cv_parallel._act_rows_cap(cached) == 0
+    assert wave(cached) == 90
+    # env override wins; 0 disables the cap entirely
+    monkeypatch.setenv("ECGMM_FOLD_PARALLEL_ROWS_CAP", "32")
+    assert wave(big) == 2
+    monkeypatch.setenv("ECGMM_FOLD_PARALLEL_ROWS_CAP", "0")
+    assert wave(big) == 90
