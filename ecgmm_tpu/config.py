@@ -149,6 +149,16 @@ class TrainConfig:
     # encoders run in eval mode — see PARITY.md "Cached-embedding fusion
     # training" and train/embed.py). Requires freeze_encoders.
     cache_embeddings: bool = False
+    # With cache_embeddings in the linear training flows (run/pretrain):
+    # fit the frozen encoders' BatchNorm running statistics to the train
+    # split (a few train-mode passes, no gradients) BEFORE encoding.
+    # The reference's train-mode BN keeps adapting its stats to the data
+    # even with frozen weights; eval-mode encoding with never-fitted
+    # stats costs real quality on cold-start encoders (measured: AUROC
+    # 0.61 vs 0.99 — BASELINE.md "fusion_cached preset"). The CV
+    # harnesses skip calibration (both sequential and fold-parallel, so
+    # they stay mutually parity-comparable — train/embed.py).
+    cache_bn_calibrate: bool = True
     # Super-chunked streaming (over-HBM-budget splits only): stage this
     # many planned batches per host→device transfer and run them through
     # ONE scan dispatch — same batches/order as per-batch streaming, but

@@ -18,6 +18,7 @@ live dropout. Off by default; the uncached path is the parity path.
 
 from __future__ import annotations
 
+import dataclasses
 import warnings
 from functools import partial
 
@@ -161,6 +162,130 @@ def encode_sigcli_rows(model, state: TrainState, signals, clinical,
         ),
         len(signals), batch_size,
     )
+
+
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _calibrate_scan(model, params, model_state, images, signals,
+                    clinical, idx_mat, dtype):
+    """One pass of train-mode forwards over the planned full batches,
+    threading the mutable collections (BatchNorm running stats) through
+    a lax.scan — no gradients, no parameter updates. Dropout runs live
+    exactly as in the reference's train-mode epochs (fixed fold rng)."""
+
+    def body(ms, idx):
+        _, new_ms = model.apply(
+            {"params": params, **ms},
+            normalize_images(jnp.take(images, idx, axis=0), dtype),
+            jnp.take(signals, idx, axis=0),
+            jnp.take(clinical, idx, axis=0),
+            train=True, mutable=list(ms.keys()),
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(0), idx[0]
+            )},
+        )
+        return new_ms, None
+
+    ms, _ = jax.lax.scan(body, model_state, idx_mat)
+    return ms
+
+
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _calibrate_batch(model, params, model_state, images, signals,
+                     clinical, first_row, dtype):
+    """Per-batch calibration step for over-HBM (HostArrays) splits.
+    first_row: the batch's first global row index — the same dropout-rng
+    fold the resident scan uses, so both paths apply identical updates."""
+    _, new_ms = model.apply(
+        {"params": params, **model_state},
+        normalize_images(images, dtype), signals, clinical,
+        train=True, mutable=list(model_state.keys()),
+        rngs={"dropout": jax.random.fold_in(
+            jax.random.PRNGKey(0), first_row
+        )},
+    )
+    return new_ms
+
+
+def calibrate_bn_stats(model, state: TrainState, arrays: Arrays,
+                       batch_size: int, mesh=None,
+                       passes: int = 3) -> TrainState:
+    """Fit the frozen encoders' BatchNorm RUNNING statistics to a split
+    before cached-embedding encoding ("precise BN" recalibration).
+
+    The reference's fusion trainer calls model.train() with frozen
+    encoder weights (`/root/reference/train.py:35-43`), so its BN layers
+    keep chasing the data's activation statistics across every epoch even
+    though no gradient touches them. Eval-mode encoding with whatever
+    stats the state happens to hold (init values on cold start) skews
+    every cached embedding — measured on the chip: cold-start cached
+    fusion lands at AUROC 0.61 vs 0.99 uncached on the same cohort
+    (BASELINE.md "fusion_cached preset"). This runs `passes` train-mode
+    forward passes (momentum-EMA updates only, no gradients; 3 passes
+    drive the EMA ≳98% of the way at typical batch counts) and returns
+    the state with the calibrated collections, which the caller uses for
+    BOTH encoding and the saved checkpoint — so serving sees the same
+    stats the cached head was trained against."""
+    from ecgmm_tpu.data.pipeline import HostArrays, prefetch_batches
+
+    n = arrays.n
+    if n == 0 or not state.model_state:
+        return state
+    params = state.params
+    ms = state.model_state
+    if isinstance(arrays, HostArrays):
+        dtype = _dtype_of(model)
+        n_full = max(1, n // batch_size) if n >= batch_size else 1
+        for _ in range(passes):
+            for j, b in enumerate(prefetch_batches(
+                arrays, batch_size, shuffle=False, seed=0, mesh=mesh
+            )):
+                if j >= n_full:
+                    break   # tail batch is row-padded — skip, like the
+                            # resident full-batches-only plan
+                ms = _calibrate_batch(
+                    model, params, ms, b.images, b.signals, b.clinical,
+                    jnp.int32(j * batch_size), dtype,
+                )
+        return dataclasses.replace(state, model_state=ms)
+    # full batches only — epoch_indices pads the tail batch with row 0,
+    # which would bias the running stats toward that row
+    n_full = max(1, n // batch_size) if n >= batch_size else 1
+    bs = batch_size if n >= batch_size else n
+    idx = np.arange(n_full * bs, dtype=np.int32).reshape(n_full, bs)
+    idx = jnp.asarray(np.tile(idx, (passes, 1)))
+    ms = _calibrate_scan(
+        model, params, ms, arrays.images, arrays.signals,
+        arrays.clinical, idx, _dtype_of(model),
+    )
+    return dataclasses.replace(state, model_state=ms)
+
+
+def maybe_calibrate_bn_stats(model, state: TrainState, train_arrays,
+                             train_cfg, mesh=None,
+                             frozen: bool = True) -> TrainState:
+    """BN calibration for the linear cached-embedding flows (run.py /
+    pretrain.py): a no-op unless the cached fast path applies AND
+    train_cfg.cache_bn_calibrate is on. The CV harnesses deliberately do
+    NOT call this — per-fold calibration would force per-fold image
+    encodes in the fold-parallel pack, and the two harnesses must stay
+    parity-comparable (PARITY.md "Cached-embedding fusion training")."""
+    from ecgmm_tpu.models.fusion import ECGMultimodalModel
+
+    # quiet precondition check — maybe_cache_fusion_embeddings (always
+    # called right after) owns the loud warning when the flag is set but
+    # the fast path cannot apply
+    if not (train_cfg.cache_bn_calibrate and train_cfg.cache_embeddings
+            and isinstance(model, ECGMultimodalModel) and frozen):
+        return state
+    return calibrate_bn_stats(
+        model, state, train_arrays, train_cfg.eval_bs, mesh
+    )
+
+
+def _dtype_of(model):
+    from ecgmm_tpu.workloads.tasks import _compute_dtype
+
+    return _compute_dtype(model)
 
 
 def cache_applies(model, train_cfg, frozen: bool) -> bool:

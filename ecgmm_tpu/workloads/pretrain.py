@@ -191,8 +191,14 @@ def run_pipeline(
     # Warm-started encoders are frozen from here on: optionally precompute
     # their embeddings once per split and train only the fusion surface
     # (train/embed.py; PARITY.md "Cached-embedding fusion training").
-    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+    from ecgmm_tpu.train.embed import (
+        maybe_cache_fusion_embeddings,
+        maybe_calibrate_bn_stats,
+    )
 
+    state = maybe_calibrate_bn_stats(
+        fusion_model, state, data.train, t, mesh, frozen=t.freeze_encoders
+    )
     splits, head_task = maybe_cache_fusion_embeddings(
         fusion_model, state,
         {"train": data.train, "val": data.val, "test": data.test},

@@ -346,11 +346,19 @@ def run(cfg: Config, data: pipeline.MaterializedData,
                     print(f"streaming in super-chunks of "
                           f"{t.stream_chunk_batches} batches")
 
-        # Cached-embedding fusion fast path: precompute the frozen encoders'
-        # outputs once per split (one scan dispatch each) and train/evaluate
-        # the fusion surface over them (train/embed.py; PARITY.md row).
-        from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+        # Cached-embedding fusion fast path: fit the frozen encoders' BN
+        # running stats to the train split (train-mode passes, no grads),
+        # then precompute each split's embeddings once (one scan dispatch
+        # each) and train/evaluate the fusion surface over them
+        # (train/embed.py; PARITY.md row).
+        from ecgmm_tpu.train.embed import (
+            maybe_cache_fusion_embeddings,
+            maybe_calibrate_bn_stats,
+        )
 
+        state = maybe_calibrate_bn_stats(
+            model, state, data.train, t, mesh, frozen=t.freeze_encoders
+        )
         splits, head_task = maybe_cache_fusion_embeddings(
             model, state,
             {"train": data.train, "val": data.val, "test": data.test},

@@ -230,3 +230,67 @@ def test_runner_with_cache_embeddings(tmp_path, monkeypatch):
     assert set(results) == {"best", "last"}
     for r in results.values():
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_bn_calibration_fits_running_stats(small_data, setup):
+    """calibrate_bn_stats moves the frozen encoders' BatchNorm running
+    statistics to the split's activation statistics (the reference's
+    train-mode BN does this continuously even with frozen weights) and
+    converges: a second calibration from the calibrated state barely
+    moves. The streamed (HostArrays) path applies the same updates."""
+    from ecgmm_tpu.train.embed import calibrate_bn_stats
+
+    cfg, model, tx, state, variables = setup
+    tr = small_data.train
+
+    def stats_vec(st):
+        return np.concatenate([
+            np.asarray(x).ravel()
+            for x in jax.tree.leaves(st.model_state)
+        ])
+
+    before = stats_vec(state)
+    cal1 = calibrate_bn_stats(model, state, tr, cfg.eval_bs)
+    after1 = stats_vec(cal1)
+    move1 = float(np.linalg.norm(after1 - before))
+    assert move1 > 1.0          # cold-start stats move substantially
+    cal2 = calibrate_bn_stats(model, cal1, tr, cfg.eval_bs)
+    move2 = float(np.linalg.norm(stats_vec(cal2) - after1))
+    assert move2 < 0.5 * move1  # converging toward the data's stats
+    # params untouched — calibration is stats-only
+    for a, b in zip(jax.tree.leaves(cal1.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # streamed split (n divisible by eval_bs -> same full batches):
+    # same calibrated stats as the resident path
+    host = pipeline.HostArrays(
+        images=np.asarray(tr.images), signals=np.asarray(tr.signals),
+        clinical=np.asarray(tr.clinical), labels=np.asarray(tr.labels),
+        indices=np.asarray(tr.indices),
+    )
+    cal_h = calibrate_bn_stats(model, state, host, cfg.eval_bs)
+    np.testing.assert_allclose(
+        stats_vec(cal_h), after1, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_maybe_calibrate_preconditions(small_data, setup):
+    """maybe_calibrate_bn_stats is a quiet no-op unless the cached fast
+    path applies AND cache_bn_calibrate is on."""
+    from ecgmm_tpu.train.embed import maybe_calibrate_bn_stats
+
+    cfg, model, tx, state, variables = setup
+    tr = small_data.train
+    off = dataclasses.replace(cfg, cache_embeddings=False)
+    assert maybe_calibrate_bn_stats(model, state, tr, off) is state
+    on = dataclasses.replace(cfg, cache_embeddings=True)
+    assert maybe_calibrate_bn_stats(
+        model, state, tr, on, frozen=False
+    ) is state
+    no_cal = dataclasses.replace(
+        cfg, cache_embeddings=True, cache_bn_calibrate=False
+    )
+    assert maybe_calibrate_bn_stats(model, state, tr, no_cal) is state
+    out = maybe_calibrate_bn_stats(model, state, tr, on, frozen=True)
+    assert out is not state     # calibrated copy
