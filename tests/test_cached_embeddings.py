@@ -294,3 +294,11 @@ def test_maybe_calibrate_preconditions(small_data, setup):
     assert maybe_calibrate_bn_stats(model, state, tr, no_cal) is state
     out = maybe_calibrate_bn_stats(model, state, tr, on, frozen=True)
     assert out is not state     # calibrated copy
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -37,6 +37,7 @@ def test_eda_images_cli(tmp_path, capsys):
     assert "2500" in out and "size distribution" in out
 
 
+@pytest.mark.slow
 def test_cv_modal_balance_uses_full_clinical_width(mesh8):
     """The CV harness must feed the preset's clinical width (24 for
     modal-balance), not a hardcoded 2-column slice (review regression)."""
@@ -73,6 +74,7 @@ def test_cv_cli_rejects_unsupported_preset():
         cv.main(["nested", "--preset", "signal_12lead"])
 
 
+@pytest.mark.slow
 def test_cv_cli_exhaustive_smoke(monkeypatch, capsys):
     from ecgmm_tpu.train import cv
 

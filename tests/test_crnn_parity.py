@@ -82,6 +82,7 @@ def _torch_to_flax(tm: TorchCRNN, variables):
     return converted
 
 
+@pytest.mark.slow
 def test_crnn_logit_parity():
     torch.manual_seed(0)
     tm = TorchCRNN(num_classes=2).eval()

@@ -106,3 +106,11 @@ def test_cross_cli_with_shipped_ckpt(capsys):
 def test_cross_cli_requires_checkpoint():
     with pytest.raises(SystemExit):
         cv.main(["cross"])
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

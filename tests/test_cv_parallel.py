@@ -463,3 +463,11 @@ def test_fold_parallel_activation_rows_cap(monkeypatch):
     assert wave(big) == 2
     monkeypatch.setenv("ECGMM_FOLD_PARALLEL_ROWS_CAP", "0")
     assert wave(big) == 90
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

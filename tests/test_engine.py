@@ -39,6 +39,7 @@ def _signal_setup(cfg: TrainConfig, steps_per_epoch=8):
     return model, tx, state
 
 
+@pytest.mark.slow
 def test_signal_training_loss_decreases(small_data, mesh8):
     cfg = TrainConfig(
         batch_size=16, num_epochs=3, lr=3e-3, loss="focal",
@@ -59,6 +60,7 @@ def test_signal_training_loss_decreases(small_data, mesh8):
     assert ev.logits.shape == (small_data.test.n, 2)
 
 
+@pytest.mark.slow
 def test_fusion_training_freeze_semantics(small_data, mesh8):
     cfg = TrainConfig(batch_size=16, num_epochs=1, lr=1e-3, patience=10)
     mcfg = ModelConfig(dtype="float32")
@@ -102,6 +104,7 @@ class _ValSequenceTask:
     plateau/early-stop control paths deterministically."""
 
 
+@pytest.mark.slow
 def test_plateau_and_early_stop(small_data, monkeypatch, mesh8):
     cfg = TrainConfig(
         batch_size=32, num_epochs=12, lr=1e-3, schedule="constant",
@@ -142,6 +145,7 @@ def test_plateau_and_early_stop(small_data, monkeypatch, mesh8):
     assert result.best_epoch == 0
 
 
+@pytest.mark.slow
 def test_patience_zero_disables_early_stop_and_plateau(
         small_data, monkeypatch, mesh8):
     """patience=0 / plateau_patience=0 must disable early stopping and
@@ -183,6 +187,7 @@ def test_patience_zero_disables_early_stop_and_plateau(
     assert result.best_epoch == 0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(small_data, tmp_path, mesh8):
     cfg = TrainConfig(batch_size=16, num_epochs=2, lr=1e-3, patience=10)
     model, tx, state = _signal_setup(cfg)
@@ -212,6 +217,7 @@ def test_checkpoint_roundtrip(small_data, tmp_path, mesh8):
     assert int(restored.epoch) == 2
 
 
+@pytest.mark.slow
 def test_onecycle_schedule_runs(small_data, mesh8):
     cfg = TrainConfig(
         batch_size=16, num_epochs=2, loss="focal", schedule="onecycle",
@@ -261,6 +267,7 @@ def test_onecycle_schedule_matches_torch_onecyclelr():
     np.testing.assert_allclose(ours, torch_lrs, rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_last_checkpoint_carries_updated_counters(small_data, tmp_path,
                                                   mesh8):
     """'last' must be written AFTER best_val_loss / early-stop counters are
@@ -342,6 +349,7 @@ def test_async_checkpoint_snapshot_is_donation_safe(tmp_path):
     ckpt.close()
 
 
+@pytest.mark.slow
 def test_weight_decay_keeps_plateau_lr_working(small_data, mesh8):
     """weight_decay wraps the optimizer in optax.chain; get_lr/scale_lr
     must traverse the chain state or plateau decay silently dies
@@ -392,6 +400,7 @@ def _empty_arrays(like: pipeline.Arrays) -> pipeline.Arrays:
     )
 
 
+@pytest.mark.slow
 def test_nan_val_loss_is_not_an_early_stop_signal(small_data, mesh8):
     """An empty (or NaN-loss) val set must not count as stale epochs:
     `nan < best` is False every epoch, and before the fix patience
@@ -433,6 +442,7 @@ def test_streamed_fit_with_empty_train_split(small_data, mesh8):
     assert result.history[0]["Accuracy/Train"] == 0.0
 
 
+@pytest.mark.slow
 def test_debug_nans_is_restored_after_fit(small_data, mesh8):
     """cfg.debug_nans must be scoped to the fit that asked for it — a
     later run in the same process must not inherit the per-dispatch
@@ -451,6 +461,7 @@ def test_debug_nans_is_restored_after_fit(small_data, mesh8):
     assert bool(jax.config.jax_debug_nans) == before
 
 
+@pytest.mark.slow
 def test_fit_keep_best_returns_best_state(small_data, mesh8):
     """keep_best=True must hand back the best-val snapshot — the CV
     harnesses score it on the outer test (reference protocol loads

@@ -2,6 +2,7 @@
 per-batch jitted-step path (same shuffle plan, same rng folding)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ from ecgmm_tpu.utils.tree import flatten_path_dict
 from ecgmm_tpu.workloads import make_signal_task
 
 
+@pytest.mark.slow
 def test_scan_epoch_equals_per_batch_steps():
     from ecgmm_tpu.config import Config
 

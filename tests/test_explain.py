@@ -182,6 +182,7 @@ def test_deep_shap_head_forward_matches_model(small_fusion, rng):
     )
 
 
+@pytest.mark.slow
 def test_deep_shap_zero_at_reference(small_fusion, rng):
     """x == reference ⇒ every attribution is exactly 0 (m ⊙ (x−r))."""
     from ecgmm_tpu.explain.deep_shap import deep_shap
@@ -194,6 +195,7 @@ def test_deep_shap_zero_at_reference(small_fusion, rng):
     np.testing.assert_array_equal(np.asarray(attr)[0], 0.0)
 
 
+@pytest.mark.slow
 def test_deep_shap_rescale_completeness(small_fusion, rng):
     """Single-reference DeepLIFT: Σ attribution ≈ f(x) − f(r). Exact for
     the linear+ReLU chain; approximate through LayerNorm (same linear_1d

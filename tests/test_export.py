@@ -104,3 +104,11 @@ def test_format_version_gate(demo_pipeline, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="re-export"):
         load_bundle(out)
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

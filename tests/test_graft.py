@@ -67,3 +67,11 @@ def test_dryrun_multichip_driver_pattern():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRIVER_PATTERN_OK" in proc.stdout
     assert "dryrun_multichip(4)" in proc.stdout
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

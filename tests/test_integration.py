@@ -179,3 +179,11 @@ def test_serving_handles_odd_photo_sizes(tmp_path):
         out = pipe.predict(img, {"age": 45, "weight": 80})
         assert out["label"] in ("Normal", "Abnormal")
         assert len(out["ecg_signal"]) > 50
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

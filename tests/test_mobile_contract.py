@@ -18,10 +18,11 @@ def _read(*rel):
 
 
 def _server_source() -> str:
-    """The response-assembly source of truth (serve/pipeline.py — the
-    ServingPipeline side of the api.py facade)."""
+    """The response-assembly source of truth (serve/request.py —
+    assemble_response builds the ResultScreen response dict behind the
+    api.py facade)."""
     with open(
-        os.path.join(REPO, "ecgmm_tpu", "serve", "pipeline.py"),
+        os.path.join(REPO, "ecgmm_tpu", "serve", "request.py"),
         encoding="utf-8",
     ) as f:
         return f.read()
@@ -222,9 +223,9 @@ def test_analysis_result_type_matches_server_response():
     client_fields = set(re.findall(r"^\s{2}(\w+)\??:", m.group(1), re.M))
     assert client_fields, "no fields parsed from AnalysisResult"
     server = _server_source()
-    rm = re.search(r"\n        resp = \{(.*?)\n        \}", server, re.S)
-    assert rm, "response dict not found in serve/pipeline.py"
-    always = set(re.findall(r'"(\w+)":', rm.group(1)))
+    rm = re.search(r"\n(\s+)resp = \{(.*?)\n\1\}", server, re.S)
+    assert rm, "response dict not found in serve/request.py"
+    always = set(re.findall(r'"(\w+)":', rm.group(2)))
     # keys attached only for non-default heatmap_format requests
     # (resp["…"] = …) — the app never requests those, so the client may
     # omit them but must not invent fields beyond always ∪ conditional

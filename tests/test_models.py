@@ -204,6 +204,7 @@ def test_clinical_mlp_shapes():
 
 
 @pytest.mark.parametrize("variant", ["canonical", "modal_balance"])
+@pytest.mark.slow
 def test_fusion_model_forward(variant):
     cfg = (
         ModelConfig(dtype="float32")
@@ -365,6 +366,7 @@ def test_ghost_batchnorm_torch_chunk_boundaries():
     )
 
 
+@pytest.mark.slow
 def test_variance_loss_masks_pad_rows(rng):
     """Zero-padded rows must not shift var_loss: a pad row's
     post-LayerNorm feature is the LN bias vector, whose variance would

@@ -121,3 +121,11 @@ def test_sigterm_mid_training_saves_and_resumes(tmp_path):
     )
     assert len(result.history) == 2
     assert int(result.state.epoch) == completed + 2
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -104,3 +104,11 @@ def test_pipeline_end_to_end_cached_embeddings(mesh8, tmp_path):
     assert len(result.history) == 1
     assert np.isfinite(ev.loss)
     assert ev.logits.shape[1] == 2
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -477,6 +477,7 @@ def test_parse_multipart_preserves_trailing_crlf_bytes():
     assert parse_multipart(body, ctype)["file"] == payload
 
 
+@pytest.mark.slow
 def test_request_program_hlo_is_weight_independent():
     """The serving request program must NOT bake the weights in as HLO
     constants: two pipelines with different weights have to lower to the

@@ -204,3 +204,11 @@ def test_closed_race_falls_back_dispatch_failure_surfaces(pipelines, cohort):
             batched.predict(cohort.images[0], {"age": 50, "weight": 70})
     finally:
         batched._batcher = orig
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -135,3 +135,11 @@ def test_reenable_reuses_compiled_sharded_program(pipelines):
         window_ms=120, max_batch=4, buckets=(2, 4), n_data=2
     )
     assert sharded._batcher._batch_fn is fn_before
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

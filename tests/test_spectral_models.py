@@ -42,6 +42,7 @@ def test_log_spectrogram_matches_reference_pipeline(rng):
         )
 
 
+@pytest.mark.slow
 def test_crnn_forward(rng):
     model = CRNN(num_classes=2, hidden=16, lstm_layers=2)
     spec = jnp.asarray(rng.normal(size=(2, 33, 60)), jnp.float32)

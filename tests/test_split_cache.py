@@ -221,3 +221,11 @@ def test_cli_split_cache_saves_then_reopens(tmp_path, capsys):
     run_mod.main(args)
     out2 = capsys.readouterr().out
     assert "reopened materialized splits" in out2
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -332,3 +332,11 @@ def test_run_streams_test_split_end_to_end(tmp_path, monkeypatch):
     _, results = run_mod.run(cfg, data, verbose=False)
     for tag in ("best", "last"):
         assert np.isfinite(results[tag]["accuracy"])
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -191,3 +191,11 @@ def test_tp_fusion_forward_matches_replicated():
         args = tuple(jax.device_put(x, sh) for x in (img, sig, cli))
         outs[name] = np.asarray(fwd(v, *args))
     np.testing.assert_allclose(outs["dp"], outs["tp"], atol=2e-5)
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -81,3 +81,11 @@ def test_seed_cli_override(tmp_path):
     assert cfg.train.seed == 7
     # default untouched
     assert get_preset("signal_only").train.seed == 42
+
+
+# Suite tiering: every test in this module is multi-second e2e work —
+# the fast tier (pytest -m "not slow") skips it; CI and the full local
+# run still execute it.
+import pytest as _pytest_tier  # noqa: E402
+
+pytestmark = _pytest_tier.mark.slow

@@ -39,6 +39,7 @@ def test_multiclass_threshold(rng):
     assert f1 == pytest.approx(want, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_xai_cli_writes_csvs(tmp_path):
     import dataclasses
 
@@ -77,6 +78,7 @@ def test_xai_cli_writes_csvs(tmp_path):
             assert path.exists()
 
 
+@pytest.mark.slow
 def test_xai_cli_gradcam_and_tabnet_masks(tmp_path):
     """Round-3 CLI additions: Grad-CAM overlays + TabNet mask heatmaps
     from the same batch entry point as shap/lime."""
