@@ -124,6 +124,21 @@ def _fold_auc(
     return float(M.auroc(jnp.asarray(probs), jnp.asarray(ev.labels)))
 
 
+def _hint_fold_parallel(tcfg, n_folds: int, verbose: bool) -> None:
+    """One-line pointer printed when the sequential harness runs a fold
+    set the parallel harness could take: measured on the relayed chip,
+    `--fold-parallel` is 4.4–22.7× faster end-to-end at 15–90 folds
+    (BASELINE.md "Fold-parallel CV on the chip"). Sequential stays the
+    default — it is the reference-parity protocol and covers every
+    schedule."""
+    if verbose and n_folds > 1 and tcfg.schedule == "constant":
+        print(
+            f"[cv] running {n_folds} folds sequentially; --fold-parallel "
+            "trains them in one compiled program (4–23x faster on TPU — "
+            "BASELINE.md)"
+        )
+
+
 def _check_fold_parallel_schedule(tcfg) -> None:
     """Early rejection of schedules the fold-parallel program cannot
     express (per-fold step counts — onecycle), BEFORE the expensive
@@ -190,6 +205,7 @@ def nested_cv(
                 print(f"[outer {fold_id}] inner AUCs={fold_aucs} "
                       f"mean={auc:.4f}")
     else:
+        _hint_fold_parallel(t, sum(len(i) for _, _, i in groups), verbose)
         outer_aucs = []
         for fold_id, outer_test, inner_splits in groups:
             fold_aucs = [
@@ -253,6 +269,7 @@ def exhaustive_cv(
             if verbose:
                 print(f"[test={ti} val={vi}] auc={auc:.4f}")
     else:
+        _hint_fold_parallel(cfg.train, len(pairs), verbose)
         for ti, vi, s in pairs:
             auc = _fold_auc(
                 make_model_task, cohort, s, cfg, mesh, apply_filter
