@@ -149,15 +149,16 @@ class TrainConfig:
     # encoders run in eval mode — see PARITY.md "Cached-embedding fusion
     # training" and train/embed.py). Requires freeze_encoders.
     cache_embeddings: bool = False
-    # With cache_embeddings in the linear training flows (run/pretrain):
-    # fit the frozen encoders' BatchNorm running statistics to the train
-    # split (a few train-mode passes, no gradients) BEFORE encoding.
-    # The reference's train-mode BN keeps adapting its stats to the data
-    # even with frozen weights; eval-mode encoding with never-fitted
-    # stats costs real quality on cold-start encoders (measured: AUROC
-    # 0.61 vs 0.99 — BASELINE.md "fusion_cached preset"). The CV
-    # harnesses skip calibration (both sequential and fold-parallel, so
-    # they stay mutually parity-comparable — train/embed.py).
+    # With cache_embeddings: fit the frozen encoders' BatchNorm running
+    # statistics to the train split (a few train-mode passes, no
+    # gradients) BEFORE encoding. The reference's train-mode BN keeps
+    # adapting its stats to the data even with frozen weights; eval-mode
+    # encoding with never-fitted stats costs real quality on cold-start
+    # encoders (measured: AUROC 0.61 vs 0.99 — BASELINE.md
+    # "fusion_cached preset"). Applies in the linear flows (on the run's
+    # train split) AND per fold in both CV harnesses (identical
+    # calibration on each fold's train rows — train/embed.py,
+    # cv_parallel.prepare_folds).
     cache_bn_calibrate: bool = True
     # Super-chunked streaming (over-HBM-budget splits only): stage this
     # many planned batches per host→device transfer and run them through

@@ -99,8 +99,19 @@ def _fold_auc(
     # frozen encoders for a full early-stop loop (90 fits in the
     # exhaustive harness) — precompute each fold's embeddings once
     # instead (per-fold, since the refit scalers change the inputs).
-    from ecgmm_tpu.train.embed import maybe_cache_fusion_embeddings
+    # BN stats are calibrated on THIS fold's train split first (round 4:
+    # cold-start eval-mode stats measurably depress cached quality —
+    # BASELINE.md); the fold-parallel harness applies the identical
+    # per-fold calibration, keeping the two harnesses parity-comparable.
+    from ecgmm_tpu.train.embed import (
+        maybe_cache_fusion_embeddings,
+        maybe_calibrate_bn_stats,
+    )
 
+    state = maybe_calibrate_bn_stats(
+        model, state, arrays["train"], cfg.train, mesh,
+        frozen=freeze is not None,
+    )
     arrays, head_task = maybe_cache_fusion_embeddings(
         model, state, arrays, cfg.train, mesh, frozen=freeze is not None,
     )

@@ -120,6 +120,9 @@ class FoldPack:
     rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]
     signals_stacked: bool = False
     clinical_stacked: bool = False
+    # cached mode with per-fold BN calibration: image EMBEDDINGS differ
+    # per fold (each fold's calibrated stats), so images stack (F, N, D)
+    images_stacked: bool = False
     # per-fold Scaler.transform affines for SHARED signals/clinical:
     # x → (x − shift[f]) / scale[f], float32 like preprocess.Scaler
     sig_shift: Optional[np.ndarray] = None   # (F, T)
@@ -142,9 +145,10 @@ class FoldPack:
         (parity tests, and the sequential fallback path)."""
 
         def build(r: np.ndarray) -> Arrays:
-            img = None if self.images is None else jnp.asarray(
-                np.asarray(self.images)[r]
-            )
+            img = None
+            if self.images is not None:
+                src = self.images[f] if self.images_stacked else self.images
+                img = jnp.asarray(np.asarray(src)[r])
             sig = None
             if self.signals is not None:
                 if self.signals_stacked:
@@ -191,7 +195,7 @@ def fold_footprint(pack: FoldPack, state0: TrainState) -> Tuple[int, int]:
     shared = int(pack.labels.nbytes) + _tree_nbytes(state0.frozen or {})
     per_fold = 0
     for a, stacked in (
-        (pack.images, False),
+        (pack.images, pack.images_stacked),
         (pack.signals, pack.signals_stacked),
         (pack.clinical, pack.clinical_stacked),
     ):
@@ -701,7 +705,7 @@ def run_fold_parallel(
             a = jax.device_put(a, replicated_sharding(mesh))
         return a
 
-    images_d = shared_put(pack.images)
+    images_d = shared_put(None if pack.images_stacked else pack.images)
     labels_d = shared_put(pack.labels)
     sig_shared = shared_put(None if pack.signals_stacked else pack.signals)
     cli_shared = shared_put(
@@ -711,7 +715,7 @@ def run_fold_parallel(
 
     ax = lambda present: 0 if present else None  # noqa: E731
     data_axes = (
-        None,                                    # images: shared
+        ax(pack.images_stacked) if pack.images is not None else None,
         ax(pack.signals_stacked) if pack.signals is not None else None,
         ax(pack.clinical_stacked) if pack.clinical is not None else None,
         None,                                    # labels: shared
@@ -735,6 +739,10 @@ def run_fold_parallel(
     vhist_rows: dict = {}
     for wave in waves:
         wsel = np.asarray(wave)
+        img_in = (
+            _put_folds(pack.images[wsel], fold_sharding)
+            if pack.images_stacked else images_d
+        )
         sig_in = (
             _put_folds(pack.signals[wsel], fold_sharding)
             if pack.signals_stacked else sig_shared
@@ -750,7 +758,7 @@ def run_fold_parallel(
         ]
         wplans = [_put_folds(p[wsel], fold_sharding) for p in plans]
         (slogits, slabels, best_ep, stopped_at, ever_imp, vhist) = program(
-            state_w, frozen, images_d, sig_in, cli_in, labels_d,
+            state_w, frozen, img_in, sig_in, cli_in, labels_d,
             *affs, *wplans,
         )
         slogits = np.asarray(slogits)   # (W, SB, bs, C)
@@ -858,6 +866,45 @@ def prepare_folds(
                     cs.transform(cohort.clinical[:, :n_clin]), np.float32
                 )
         from ecgmm_tpu.workloads.tasks import make_fusion_head_task
+
+        if cfg.train.cache_bn_calibrate:
+            # Per-fold BN-stat calibration (the same calibrate the
+            # sequential harness applies in cv._fold_auc, on the same
+            # fold-train rows/values — parity-tested): each fold's
+            # cohort embeddings encode with ITS calibrated stats, so
+            # the image embeddings stack (F, N, D) instead of sharing.
+            # The fold program is unchanged — the fusion head carries
+            # no BatchNorm, so per-fold stats matter only at encode.
+            imgs_f, sigs_f, clis_f = [], [], []
+            for f, (tr, _, _) in enumerate(rows):
+                st_f = embed.calibrate_bn_stats(
+                    model, state0,
+                    Arrays(
+                        images=cohort.images[tr],
+                        signals=sigT[f][tr],
+                        clinical=cliT[f][tr],
+                        labels=labels[tr], indices=np.asarray(tr),
+                    ),
+                    cfg.train.eval_bs, mesh,
+                )
+                imgs_f.append(np.asarray(embed.encode_image_cohort(
+                    model, st_f, cohort.images, cfg.train.eval_bs
+                )))
+                s_e, c_e = embed.encode_sigcli_rows(
+                    model, st_f, sigT[f], cliT[f], cfg.train.eval_bs
+                )
+                sigs_f.append(np.asarray(s_e))
+                clis_f.append(np.asarray(c_e))
+            pack = FoldPack(
+                images=np.stack(imgs_f),
+                signals=np.stack(sigs_f),
+                clinical=np.stack(clis_f),
+                labels=labels, rows=rows,
+                images_stacked=True, signals_stacked=True,
+                clinical_stacked=True, cached_embeddings=True,
+            )
+            return make_fusion_head_task(model, cfg.train), tx, state0, \
+                pack
 
         img_emb = np.asarray(embed.encode_image_cohort(
             model, state0, cohort.images, cfg.train.eval_bs

@@ -263,12 +263,13 @@ def calibrate_bn_stats(model, state: TrainState, arrays: Arrays,
 def maybe_calibrate_bn_stats(model, state: TrainState, train_arrays,
                              train_cfg, mesh=None,
                              frozen: bool = True) -> TrainState:
-    """BN calibration for the linear cached-embedding flows (run.py /
-    pretrain.py): a no-op unless the cached fast path applies AND
-    train_cfg.cache_bn_calibrate is on. The CV harnesses deliberately do
-    NOT call this — per-fold calibration would force per-fold image
-    encodes in the fold-parallel pack, and the two harnesses must stay
-    parity-comparable (PARITY.md "Cached-embedding fusion training")."""
+    """BN calibration for cached-embedding flows: a no-op unless the
+    cached fast path applies AND train_cfg.cache_bn_calibrate is on.
+    Called by the linear flows (run.py / pretrain.py) on the run's train
+    split, and by the sequential CV harness per fold (cv._fold_auc); the
+    fold-parallel harness applies the identical per-fold calibration
+    inside cv_parallel.prepare_folds (stacked per-fold image embeddings),
+    so the two harnesses stay parity-comparable."""
     from ecgmm_tpu.models.fusion import ECGMultimodalModel
 
     # quiet precondition check — maybe_cache_fusion_embeddings (always

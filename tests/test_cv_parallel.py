@@ -259,9 +259,10 @@ def test_fold_pack_matches_sequential_build_arrays():
 def test_fold_parallel_fusion_cached_embeddings_on_mesh(mesh8):
     """Fusion head task over cached embeddings, folds sharded across the
     8-device mesh (4 folds pad to 8): AUC parity with the sequential
-    fits; image embeddings are encoded ONCE cohort-wide (fold-invariant
-    frozen encoder — the per-fold-encode cross-check is
-    test_cohort_image_embeddings_match_per_fold_encode)."""
+    fits. With BN calibration (round 4, default on) each fold encodes
+    with its own calibrated stats, so the image embeddings ride the pack
+    STACKED (F, N, D); the seq-vs-par calibrated-encode cross-check is
+    test_cohort_image_embeddings_match_per_fold_encode."""
     cohort = synthetic.make_cohort(
         n=48, signal_len=256, img_hw=(16, 32), n_clinical=2
     )
@@ -290,11 +291,16 @@ def test_fold_parallel_fusion_cached_embeddings_on_mesh(mesh8):
 
 
 def test_cohort_image_embeddings_match_per_fold_encode():
-    """The cached path's cohort-wide image encode equals the sequential
-    cached path's per-split joint encode_raw on the same rows."""
+    """The fold-parallel cached pack's embeddings equal the sequential
+    cached path's calibrate-then-encode on the same fold: both calibrate
+    BN stats on the fold's train rows (round 4) and encode with the
+    calibrated state, so neither harness can drift from the other."""
     from ecgmm_tpu.data import preprocess
     from ecgmm_tpu.train import cv
-    from ecgmm_tpu.train.embed import precompute_fusion_embeddings
+    from ecgmm_tpu.train.embed import (
+        calibrate_bn_stats,
+        precompute_fusion_embeddings,
+    )
 
     cohort = synthetic.make_cohort(
         n=32, signal_len=256, img_hw=(16, 32), n_clinical=2
@@ -321,7 +327,8 @@ def test_cohort_image_embeddings_match_per_fold_encode():
     cli_s = preprocess.Scaler.fit(cohort.clinical[folds[0].train, :n_clin])
     raw = cv._build_arrays(cohort, folds[0].train, ecg_s, cli_s, False,
                            n_clin)
-    want = precompute_fusion_embeddings(model, state0, raw,
+    cal = calibrate_bn_stats(model, state0, raw, cfg.train.eval_bs)
+    want = precompute_fusion_embeddings(model, cal, raw,
                                         cfg.train.eval_bs)
     got = pack.fold_arrays(0)[0]
     np.testing.assert_allclose(
