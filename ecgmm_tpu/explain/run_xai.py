@@ -89,11 +89,16 @@ def xai_report(
     method: str = "shap", out_dir: str = "./output", tag: str = "fusion",
     n_samples: int = 64,
 ) -> Dict[int, pd.DataFrame]:
+    import time
+
+    t0 = time.perf_counter()
     emb_train = compute_embeddings(model, variables, train_arrays)
     emb_test = compute_embeddings(model, variables, test_arrays)
+    t_encode = time.perf_counter() - t0
     labels_train = np.asarray(train_arrays.labels)
     test_idx = test_arrays.indices
 
+    t0 = time.perf_counter()
     frames: Dict[int, pd.DataFrame] = {}
     if method in ("shap", "deep_shap"):
         background = class_balanced_background(emb_train, labels_train)
@@ -131,6 +136,15 @@ def xai_report(
             frames[c] = pd.DataFrame({"index": test_idx, **contrib})
     else:
         raise ValueError(method)
+    t_attrib = time.perf_counter() - t0
+
+    n_test = len(test_idx)
+    print(
+        f"xai[{method}]: encode {train_arrays.n + n_test} samples in "
+        f"{t_encode:.2f}s, attribution over {n_test} test samples in "
+        f"{t_attrib:.2f}s "
+        f"({n_test / t_attrib:.1f} samples/s attrib, incl. compile)"
+    )
 
     sub = os.path.join(out_dir, method)
     os.makedirs(sub, exist_ok=True)

@@ -480,28 +480,87 @@ def load_converted(path: str) -> Dict:
         return serialization.msgpack_restore(f.read())
 
 
-def main(argv=None):
-    """CLI for reference-checkpoint migration:
+def _load_export_source(path: str, which: str) -> Dict:
+    """Resolve the input of an --export run into a variable tree
+    ({'params': ..., 'batch_stats': ...}).
 
+    Accepts (a) a .msgpack variable tree (save_converted format), (b) an
+    orbax run directory produced by workloads.run / workloads.pretrain
+    (the `which` best/last checkpoint inside it), or (c) a bare orbax
+    checkpoint directory (a TrainState or variable tree)."""
+    import os
+
+    if os.path.isfile(path):
+        return load_converted(path)
+
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = path = os.path.abspath(path)  # orbax requires absolute
+    sub = os.path.join(path, which)
+    if os.path.isdir(sub):
+        ckpt_dir = sub
+    tree = ocp.StandardCheckpointer().restore(ckpt_dir)
+    if "model_state" in tree:  # a saved TrainState (train/state.py)
+        if "params" in tree:
+            params = tree["params"]
+        else:  # trainable ∪ frozen partitions (state.params property)
+            from ecgmm_tpu.utils.tree import merge_params
+
+            params = merge_params(
+                tree.get("trainable", {}), tree.get("frozen", {})
+            )
+        tree = {"params": params, **tree["model_state"]}
+    return tree
+
+
+def main(argv=None):
+    """CLI for reference-checkpoint migration, both directions:
+
+        # reference .pth -> this framework (msgpack variable tree)
         python -m ecgmm_tpu.tools.convert_pth best.pth \
             --arch tabnet --out tabnet.msgpack
 
-    Reads a torch .pth state dict, converts to this framework's Flax
-    variable tree, writes msgpack (load with
-    convert_pth.load_converted / flax msgpack_restore)."""
+        # this framework -> reference-format .pth (consumable by the
+        # reference's own eval/XAI scripts, e.g.
+        # /root/reference/evaluation_signal.py:176)
+        python -m ecgmm_tpu.tools.convert_pth runs/fusion \
+            --arch fusion_canonical --export --which best --out best.pth
+
+    --export input may be a .msgpack tree (save_converted format), a
+    run directory (best/last orbax checkpoint selected by --which), or
+    a bare orbax checkpoint directory."""
     import argparse
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("pth", help="torch state-dict .pth file")
+    p.add_argument("src", help="import: torch state-dict .pth file; "
+                               "export: .msgpack tree, run dir, or orbax "
+                               "checkpoint dir")
     p.add_argument("--arch", required=True, choices=sorted(CONVERTERS))
-    p.add_argument("--out", required=True, help="output .msgpack path")
+    p.add_argument("--out", required=True,
+                   help="output path (.msgpack on import, .pth on export)")
+    p.add_argument("--export", action="store_true",
+                   help="reverse direction: JAX variables -> "
+                        "reference-format torch .pth")
+    p.add_argument("--which", default="best", choices=("best", "last"),
+                   help="export from a run dir: which checkpoint")
     p.add_argument("--nhead", type=int, default=4,
-                   help="transformer1d only: attention head count of the "
-                        "checkpoint (not stored in the state dict; the "
-                        "reference uses 4)")
+                   help="transformer1d import only: attention head count "
+                        "of the checkpoint (not stored in the state dict; "
+                        "the reference uses 4)")
     args = p.parse_args(argv)
 
-    sd = load_torch_state_dict(args.pth)
+    if args.export:
+        from ecgmm_tpu.tools import export_pth
+
+        variables = _load_export_source(args.src, args.which)
+        sd = export_pth.EXPORTERS[args.arch](variables)
+        export_pth.save_torch_state_dict(sd, args.out)
+        n_params = sum(int(np.prod(np.shape(v))) for v in sd.values())
+        print(f"{args.arch}: {len(sd)} tensors, {n_params:,} elements "
+              f"-> {args.out} (reference-format state dict)")
+        return
+
+    sd = load_torch_state_dict(args.src)
     if args.arch == "transformer1d":
         variables = convert_transformer1d(sd, nhead=args.nhead)
     else:
