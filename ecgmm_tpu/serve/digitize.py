@@ -269,6 +269,23 @@ def _profile_period(
     if len(above) == 0:
         return None
     k = int(above[0]) + min_lag
+    # Sub-harmonic veto: a genuine comb of period k has its next
+    # autocorrelation peak one full period away (≈2k). When the true
+    # pitch sits BELOW min_lag (a low-resolution photo: <4 px/mm), the
+    # first reachable peak is a HARMONIC of the real grid, and the
+    # row-vs-column cross-check cannot catch it (a square grid aliases
+    # identically on both axes) — but the peaks are then spaced at the
+    # true sub-min_lag period, much closer than k. Seeing the next peak
+    # at < ~¾ k proves the fundamental is finer than we can measure:
+    # downgrade to no-pitch (→ scale_source "assumed") instead of
+    # shipping a 2–3× wrong voltage axis. Measured: 3×/4×/6×-downscaled
+    # 10 px grids report 2–3× harmonics without this veto
+    # (tools/digitize_envelope.py sweep).
+    later = above[above > int(above[0])]
+    if len(later):
+        j = int(later[0]) + min_lag
+        if j - k < 0.75 * k:
+            return None
     # parabolic sub-pixel refinement
     y0, y1, y2 = ac[k - 1], ac[k], ac[k + 1]
     denom = y0 - 2 * y1 + y2
@@ -431,15 +448,35 @@ def _trim_dark_borders(
     row_sub = bright[:, ::4]
     col_sub = bright[::4, :]
     lim = 0.6 * paper
+
+    def trim_it(pixels) -> bool:
+        """Dark AND free of trace-strength ink. A deeply shadowed strip
+        edge can fall below the 60%-of-paper brightness line while the
+        trace is still perfectly legible there; trimming it would
+        silently compress the signal's time axis (measured: a 0.35×
+        left-shadow ramp cost the first ~190 columns and collapsed
+        correlation — tools/digitize_envelope.py sweep). A true dark
+        TABLE border is near-uniform, so its darkest percentile sits
+        close to its median; ink pulls p1 far below."""
+        med = float(np.median(pixels))
+        if med >= lim:
+            return False
+        # p0.8 ≈ the 2nd-3rd darkest of a 250 px column: low enough to
+        # land INSIDE a ≥2 px-thick trace (p1 would interpolate halfway
+        # back up to grid brightness on gridline columns), high enough
+        # that a single hot/dead pixel in a genuine table border can't
+        # fake ink
+        return med - float(np.percentile(pixels, 0.8)) <= 0.25 * paper
+
     a, b = 0, bh
-    while a < b - 16 and float(np.median(row_sub[a])) < lim:
+    while a < b - 16 and trim_it(row_sub[a]):
         a += 1
-    while b > a + 16 and float(np.median(row_sub[b - 1])) < lim:
+    while b > a + 16 and trim_it(row_sub[b - 1]):
         b -= 1
     c, d = 0, bw
-    while c < d - 16 and float(np.median(col_sub[:, c])) < lim:
+    while c < d - 16 and trim_it(bright[:, c]):
         c += 1
-    while d > c + 16 and float(np.median(col_sub[:, d - 1])) < lim:
+    while d > c + 16 and trim_it(bright[:, d - 1]):
         d -= 1
     return y0 + a, y0 + b, x0 + c, x0 + d
 
