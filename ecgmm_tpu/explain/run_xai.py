@@ -51,7 +51,15 @@ def _encode_batch(model, variables, img, sig, clin):
 def compute_embeddings(model, variables, arrays, batch_size: int = 32
                        ) -> np.ndarray:
     """Concatenated LayerNorm'd per-branch features for a split — the
-    explanation surface (reference shap_fusion_modal_balance.py:53-93)."""
+    explanation surface (reference shap_fusion_modal_balance.py:53-93).
+
+    batch_size 32, measured (round 5, 1,843-sample cohort on the
+    relayed chip): the encode pass is HOST→DEVICE UPLOAD-bound
+    (~280 MB of uint8 images ⇒ 52–62 s warm at batch 32 AND at batch
+    256), so a bigger batch buys nothing warm — and the batch-256
+    encode program cost a 834 s cold compile vs ~50 s total for the
+    batch-32 first run. The ragged tail is padded, so one program
+    serves every cohort size."""
     out = []
     for i in range(0, arrays.n, batch_size):
         sl = slice(i, i + batch_size)
@@ -235,6 +243,10 @@ def main(argv=None):
     )
     p.add_argument("--n-synth", type=int, default=64)
     p.add_argument("--out-dir", default="./output")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the report N times in-process: the first "
+                        "pays trace/compile, later passes time the warm "
+                        "jitted programs (the steady-state number)")
     args = p.parse_args(argv)
 
     cfg = get_preset("fusion")
@@ -258,10 +270,11 @@ def main(argv=None):
     elif args.method == "tabnet_masks":
         tabnet_masks_report(model, variables, data.test, args.out_dir)
     else:
-        xai_report(
-            model, variables, data.train, data.test, dims,
-            method=args.method, out_dir=args.out_dir,
-        )
+        for _ in range(max(1, args.repeat)):
+            xai_report(
+                model, variables, data.train, data.test, dims,
+                method=args.method, out_dir=args.out_dir,
+            )
 
 
 if __name__ == "__main__":

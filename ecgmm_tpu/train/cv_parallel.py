@@ -679,10 +679,38 @@ def run_fold_parallel(
     else:
         fold_sharding, n_data = None, 1
 
+    budget = resolve_hbm_budget()
     W = _wave_size(
         pack, state0, sum(p.nbytes for p in plans), n_data,
-        resolve_hbm_budget(), cfg.batch_size,
+        budget, cfg.batch_size,
     )
+    if verbose and not budget:
+        # Say LOUDLY which guard is actually protecting the device: the
+        # relayed TPU backend reports no bytes_limit, so the byte-budget
+        # guard silently resolves to "unlimited" — the one crash this
+        # harness ever caused (1,440 rows, BASELINE "activation-rows
+        # lesson") happened exactly because that inertness was easy to
+        # miss.
+        cap = _act_rows_cap(pack)
+        if cap:
+            print(
+                "[fold-parallel] HBM byte-budget guard INERT (backend "
+                "reports no bytes_limit; ECGMM_HBM_BUDGET_BYTES unset) — "
+                f"the concurrent-rows cap ({cap} rows/device, "
+                "ECGMM_FOLD_PARALLEL_ROWS_CAP) is the ONLY active wave "
+                "guard"
+            )
+        elif not pack.cached_embeddings:
+            # only reachable by explicitly disabling the cap on a raw
+            # pack (ECGMM_FOLD_PARALLEL_ROWS_CAP=0)
+            print(
+                "[fold-parallel] WARNING: NO wave guard active (backend "
+                "reports no bytes_limit, ECGMM_HBM_BUDGET_BYTES unset, "
+                "rows cap disabled) — an over-sized raw fold pack can "
+                "crash the device worker"
+            )
+        # cached packs: head-only FLOPs, microscopic per-fold footprint —
+        # unguarded by design, nothing to warn about
     ids = list(range(n_real))
     while len(ids) % W:
         ids.append(0)       # pad waves with fold 0; duplicates dropped
