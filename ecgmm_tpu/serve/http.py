@@ -186,10 +186,44 @@ def install_graceful_shutdown(httpd, pipeline: ServingPipeline):
     return _drain
 
 
+def install_max_requests_recycle(httpd, pipeline: ServingPipeline,
+                                 max_requests: int) -> None:
+    """Graceful worker recycling: once `max_requests` predictions have
+    been served, stop accepting, drain in-flight requests, and let the
+    process exit 0 so a supervisor (systemd/k8s) restarts it — the
+    standard gunicorn `max_requests` pattern.
+
+    Why it exists here: the round-5 sustained soak (8,781 requests /
+    10 min / 0 errors) found the serving process's host RSS growing
+    ~338 KB per request while device buffers stayed flat, and isolation
+    runs attributed it 1:1 to bytes UPLOADED through the experimental
+    axon relay backend (100 × 1 MB uploads → +100 MB RSS, gc-immune;
+    the identical request loop on the CPU backend is flat — BASELINE
+    "Serving soak"). The leak is in the backend plugin, not this
+    server; recycling bounds its damage in production until the plugin
+    is fixed."""
+    checked = threading.Event()
+
+    def maybe_recycle():
+        if checked.is_set():
+            return
+        if pipeline.stats()["requests"] >= max_requests:
+            checked.set()
+            print(f"[serve] {max_requests} requests served — graceful "
+                  "recycle (drain + exit; supervisor restarts)",
+                  flush=True)
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    pipeline.on_request_done = maybe_recycle
+
+
 def serve(pipeline: ServingPipeline, port: int = 8080,
           background: bool = False,
-          graceful: bool = False) -> ThreadingHTTPServer:
+          graceful: bool = False,
+          max_requests: int = 0) -> ThreadingHTTPServer:
     httpd = GracefulHTTPServer(("0.0.0.0", port), make_handler(pipeline))
+    if max_requests > 0:
+        install_max_requests_recycle(httpd, pipeline, max_requests)
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         return httpd
@@ -223,6 +257,12 @@ def main(argv=None):
                    help="largest batch bucket to serve; rounded DOWN to "
                         "the nearest available bucket (powers of two for "
                         "live pipelines, the exported set for bundles)")
+    p.add_argument("--max-requests", type=int, default=0,
+                   help="gracefully drain and exit 0 after serving this "
+                        "many predictions (worker recycling; 0 = never). "
+                        "Bounds the axon relay client's measured "
+                        "~340 KB/request host-RSS growth in production — "
+                        "see BASELINE 'Serving soak'")
     p.add_argument("--n-data", type=int, default=1,
                    help="shard each batched dispatch's batch axis over "
                         "the first N visible devices (data-parallel "
@@ -269,7 +309,8 @@ def main(argv=None):
         with_cache_recovery(pipeline.warmup)
         with_cache_recovery(pipeline.warmup_batched)
     print(f"serving on :{args.port}{ENDPOINT}")
-    serve(pipeline, args.port, graceful=True)
+    serve(pipeline, args.port, graceful=True,
+          max_requests=args.max_requests)
     print("drained in-flight requests; bye")
 
 

@@ -51,6 +51,17 @@ LATENCY_BUCKETS = (0.025, 0.05, 0.1, 0.2, 0.4, 0.8, 1.6, 3.2, 6.4,
                    float("inf"))
 
 
+def _rss_bytes() -> int:
+    """Resident set size from /proc (no psutil in this image)."""
+    import os
+
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    except Exception:
+        return 0
+
+
 def _pack_outputs(outs, batched: bool):
     """Flatten+cast the request program's output tuple into one f32 array
     (per row when batched) — the device side of the packed wire format
@@ -342,6 +353,27 @@ class ServingPipeline:
                 "# TYPE ecgmm_batch_mean_coalescence gauge",
                 f"ecgmm_batch_mean_coalescence {s['mean_coalescence']:.4f}",
             ]
+        # leak-gate gauges for sustained-soak monitoring: host RSS and
+        # total live device-array bytes. Scrape-time only (live_arrays
+        # iterates every live jax array — cheap at serving's working-set
+        # size, not something to poll per request).
+        lines += [
+            "# HELP ecgmm_process_rss_bytes Resident set size of the "
+            "serving process.",
+            "# TYPE ecgmm_process_rss_bytes gauge",
+            f"ecgmm_process_rss_bytes {_rss_bytes()}",
+        ]
+        try:
+            from ecgmm_tpu.train.profiler import live_buffer_bytes
+
+            lines += [
+                "# HELP ecgmm_live_buffer_bytes Total bytes of live "
+                "device arrays (train/profiler.py).",
+                "# TYPE ecgmm_live_buffer_bytes gauge",
+                f"ecgmm_live_buffer_bytes {live_buffer_bytes()}",
+            ]
+        except Exception:
+            pass
         return "\n".join(lines) + "\n"
 
     def _build_jitted(self):
@@ -713,4 +745,7 @@ class ServingPipeline:
                 if _dt <= _ub:
                     self._latency_hist[_i] += 1
                     break
+        hook = getattr(self, "on_request_done", None)
+        if hook is not None:  # e.g. --max-requests recycle (serve/http.py)
+            hook()
         return resp

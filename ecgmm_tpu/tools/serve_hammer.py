@@ -102,6 +102,102 @@ def hammer(url: str, clients: int, seconds: float,
         "req_per_sec": round(len(lat) / wall, 2),
         "latency_median_ms": round(pct(0.5) * 1e3, 1),
         "latency_p90_ms": round(pct(0.9) * 1e3, 1),
+        "latency_p99_ms": round(pct(0.99) * 1e3, 1),
+    }
+
+
+# -- sustained soak ---------------------------------------------------------
+
+def _scrape_metrics(base_url: str) -> dict:
+    """Parse the server's /metrics exposition into a flat dict:
+    counters/gauges by name, histogram buckets as
+    {'bucket_<le>': cumulative_count}."""
+    with urllib.request.urlopen(base_url + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    out: dict = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, _, value = line.rpartition(" ")
+        if "_bucket{le=" in name:
+            le = name.split('le="')[1].split('"')[0]
+            out[f"bucket_{le}"] = float(value)
+        else:
+            out[name] = float(value)
+    return out
+
+
+def _hist_percentile(m0: dict, m1: dict, q: float) -> float:
+    """q-quantile (seconds) of the latency histogram DELTA between two
+    scrapes, linearly interpolated within the bucket."""
+    les, counts = [], []
+    for k, v1 in m1.items():
+        if k.startswith("bucket_"):
+            le = k[len("bucket_"):]
+            les.append(float("inf") if le == "+Inf" else float(le))
+            counts.append(v1 - m0.get(k, 0.0))
+    order = sorted(range(len(les)), key=lambda i: les[i])
+    les = [les[i] for i in order]
+    counts = [counts[i] for i in order]  # cumulative
+    total = counts[-1]
+    if total <= 0:
+        return 0.0
+    target = q * total
+    prev_le, prev_c = 0.0, 0.0
+    for le, c in zip(les, counts):
+        if c >= target:
+            if le == float("inf"):
+                return prev_le
+            span = c - prev_c
+            frac = (target - prev_c) / span if span > 0 else 1.0
+            return prev_le + frac * (le - prev_le)
+        prev_le, prev_c = le, c
+    return les[-2] if len(les) > 1 else 0.0
+
+
+def soak(base_url: str, url: str, clients: int, seconds: float,
+         heatmap_format: str = "png", min_requests: int = 0) -> dict:
+    """Sustained load with leak/tail gates: hammer for `seconds`
+    (extending until `min_requests` have completed), scraping /metrics
+    at start, midpoint, and end. Reports server-histogram p50/p90/p99
+    over exactly the soak window, client-side exact percentiles, the
+    server error delta, and RSS + live device-buffer bytes at the three
+    scrape points (the leak gate)."""
+    m_start = _scrape_metrics(base_url)
+    mid_holder: dict = {}
+    timer = threading.Timer(
+        seconds / 2,
+        lambda: mid_holder.update(_scrape_metrics(base_url)),
+    )
+    timer.daemon = True
+    timer.start()
+
+    res = hammer(url, clients, seconds, heatmap_format)
+    while res["requests"] < min_requests:
+        extra = hammer(url, clients, seconds / 4, heatmap_format)
+        for k in ("requests", "errors"):
+            res[k] += extra[k]
+    timer.cancel()
+    m_end = _scrape_metrics(base_url)
+
+    def tri(key):
+        return [m.get(key) for m in (m_start, mid_holder, m_end)]
+
+    return {
+        **res,
+        "soak_seconds": seconds,
+        "server_hist_p50_ms": round(
+            1e3 * _hist_percentile(m_start, m_end, 0.5), 1),
+        "server_hist_p90_ms": round(
+            1e3 * _hist_percentile(m_start, m_end, 0.9), 1),
+        "server_hist_p99_ms": round(
+            1e3 * _hist_percentile(m_start, m_end, 0.99), 1),
+        "server_errors_delta": (
+            m_end.get("ecgmm_request_errors_total", 0)
+            - m_start.get("ecgmm_request_errors_total", 0)
+        ),
+        "rss_bytes_start_mid_end": tri("ecgmm_process_rss_bytes"),
+        "live_buffer_bytes_start_mid_end": tri("ecgmm_live_buffer_bytes"),
     }
 
 
@@ -113,14 +209,29 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--heatmap-format", default="png",
                    choices=("png", "jpeg", "cam"))
+    p.add_argument("--soak", action="store_true",
+                   help="sustained-soak mode: scrape /metrics at "
+                        "start/mid/end, report server-histogram "
+                        "p50/p90/p99, error delta, and RSS/live-buffer "
+                        "leak gauges")
+    p.add_argument("--min-requests", type=int, default=0,
+                   help="soak only: keep hammering until at least this "
+                        "many requests completed")
     args = p.parse_args(argv)
 
     from ecgmm_tpu.serve.api import ENDPOINT
 
-    url = f"http://{args.host}:{args.port}{ENDPOINT}"
-    print(json.dumps(hammer(
-        url, args.clients, args.seconds, args.heatmap_format
-    )))
+    base = f"http://{args.host}:{args.port}"
+    url = base + ENDPOINT
+    if args.soak:
+        print(json.dumps(soak(
+            base, url, args.clients, args.seconds, args.heatmap_format,
+            args.min_requests,
+        )))
+    else:
+        print(json.dumps(hammer(
+            url, args.clients, args.seconds, args.heatmap_format
+        )))
 
 
 if __name__ == "__main__":

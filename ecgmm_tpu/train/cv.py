@@ -121,6 +121,14 @@ def _fold_auc(
         task, state, tx, arrays["train"], arrays["val"], cfg.train,
         mesh=mesh, verbose=False, keep_best=True,
     )
+    if result.preempted:
+        # SIGTERM mid-fold: this fold trained short and the process is
+        # being preempted — scoring it as a normal result and launching
+        # the remaining folds would both be wrong (observed on-chip,
+        # engine.FitResult.preempted docstring)
+        raise engine.Preempted(
+            "SIGTERM during a CV fold fit — stopping the harness"
+        )
     # Score the BEST-val state, as the reference protocol does
     # (train_kfold.py:117-133 loads best_inner.pth) — the final state is
     # patience epochs past best by construction on every early stop.

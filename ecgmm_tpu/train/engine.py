@@ -481,6 +481,13 @@ def evaluate_streamed(
     )
 
 
+class Preempted(RuntimeError):
+    """Raised by multi-fit drivers (the CV harnesses) when a fit
+    reports `FitResult.preempted`: the process received SIGTERM, the
+    interrupted fold's state was saved, and launching further fits
+    would race the impending SIGKILL."""
+
+
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
@@ -491,6 +498,15 @@ class FitResult:
     # fit(keep_best=True) (callers without a CheckpointManager — e.g.
     # the CV harnesses — still need the best model, not the final one)
     best_state: Optional[TrainState] = None
+    # SIGTERM arrived mid-fit (graceful stop after the current epoch).
+    # Multi-fit drivers — the CV harnesses — MUST check this and stop
+    # launching further fits: the process is being preempted, and a
+    # fold cut short by the handler would otherwise be scored as a
+    # normal result and the remaining folds raced against SIGKILL
+    # (observed in a round-5 chip run: `timeout` TERM'd the sequential
+    # exhaustive harness at pair ~35, that fold trained short, and the
+    # harness kept going for another ~40 minutes).
+    preempted: bool = False
 
 
 def fit(
@@ -850,4 +866,5 @@ def _fit_loop(
     return FitResult(
         state=state, history=history, best_epoch=best_epoch,
         stopped_early=stopped_early, best_state=best_host_state,
+        preempted=preempted["flag"],
     )

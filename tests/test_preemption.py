@@ -129,3 +129,83 @@ def test_sigterm_mid_training_saves_and_resumes(tmp_path):
 import pytest as _pytest_tier  # noqa: E402
 
 pytestmark = _pytest_tier.mark.slow
+
+
+def test_fold_auc_stops_harness_on_preempted_fit(monkeypatch):
+    """Round-5 fix: a SIGTERM that lands inside one CV fold's fit used
+    to leave that short-trained fold scored as a normal result and the
+    harness running for the remaining folds (observed on-chip when
+    `timeout` TERM'd the 90-pair exhaustive run at pair ~35).
+    `_fold_auc` must now raise engine.Preempted instead."""
+    import dataclasses as _dc
+
+    import jax
+
+    from ecgmm_tpu.config import get_preset
+    from ecgmm_tpu.data import splits as splits_lib, synthetic
+    from ecgmm_tpu.train import cv, engine
+    from ecgmm_tpu.workloads.run import build_model_and_task
+
+    cfg = get_preset("signal_only")
+    cfg = _dc.replace(
+        cfg,
+        data=_dc.replace(cfg.data, signal_len=192),
+        train=_dc.replace(cfg.train, batch_size=8, num_epochs=1),
+    )
+    cohort = synthetic.make_cohort(n=40, signal_len=192, img_hw=(8, 16))
+    split = splits_lib.stratified_811(cohort.labels, 42)
+
+    real_fit = engine.fit
+
+    def preempted_fit(*a, **k):
+        res = real_fit(*a, **k)
+        return _dc.replace(res, preempted=True)
+
+    monkeypatch.setattr(engine, "fit", preempted_fit)
+    with pytest.raises(engine.Preempted):
+        cv._fold_auc(
+            build_model_and_task, cohort, split, cfg, mesh=None,
+            apply_filter=False,
+        )
+
+
+@pytest.mark.slow
+def test_fit_result_carries_preempted_flag(tmp_path):
+    """In-process: a SIGTERM delivered mid-fit surfaces as
+    FitResult.preempted=True (and the fit stops after that epoch)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ecgmm_tpu.config import TrainConfig
+    from ecgmm_tpu.data import pipeline, synthetic
+    from ecgmm_tpu.models import ResNet1DSE
+    from ecgmm_tpu.train import engine, optim as optim_lib
+    from ecgmm_tpu.train.state import create_state
+    from ecgmm_tpu.workloads import make_signal_task
+    from ecgmm_tpu.config import Config
+
+    cohort = synthetic.make_cohort(n=64, signal_len=256, img_hw=(8, 8))
+    data = pipeline.materialize_trimodal(cohort, Config())
+    cfg = TrainConfig(batch_size=16, num_epochs=100000, lr=1e-3,
+                      patience=10 ** 9, schedule="constant")
+    model = ResNet1DSE(num_classes=2, base_filters=8)
+    tx = optim_lib.make_optimizer(cfg, 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 256, 1)))
+    state = create_state(variables, tx, jax.random.PRNGKey(0))
+
+    def fire():
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    timer = threading.Timer(10.0, fire)
+    timer.start()
+    try:
+        result = engine.fit(
+            make_signal_task(model, cfg), state, tx, data.train,
+            data.val, cfg, verbose=False,
+        )
+    finally:
+        timer.cancel()
+    assert result.preempted is True
+    assert len(result.history) < 100000

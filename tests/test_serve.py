@@ -678,3 +678,83 @@ def test_graceful_shutdown_drains_in_flight(demo_pipeline):
             httpd.shutdown()
             loop.join(timeout=10)
             httpd.server_close()
+
+
+def test_metrics_leak_gauges_and_soak_scraper(server):
+    """Round-5 soak support: /metrics carries the RSS and live-device-
+    buffer leak gauges, and serve_hammer's scraper parses the live
+    exposition (names, gauges, histogram buckets)."""
+    from ecgmm_tpu.tools import serve_hammer
+
+    m = serve_hammer._scrape_metrics(server)
+    assert m["ecgmm_process_rss_bytes"] > 1e6  # a real process RSS
+    assert "ecgmm_live_buffer_bytes" in m
+    assert any(k.startswith("bucket_") for k in m)
+    assert "ecgmm_requests_total" in m
+
+
+def test_soak_histogram_percentiles_interpolate():
+    """_hist_percentile: linear interpolation within the cumulative
+    bucket delta between two scrapes."""
+    from ecgmm_tpu.tools.serve_hammer import _hist_percentile
+
+    m0 = {"bucket_0.05": 10, "bucket_0.1": 10, "bucket_0.2": 10,
+          "bucket_+Inf": 10}
+    m1 = {"bucket_0.05": 10, "bucket_0.1": 60, "bucket_0.2": 110,
+          "bucket_+Inf": 110}
+    assert abs(_hist_percentile(m0, m1, 0.5) - 0.1) < 1e-9
+    assert abs(_hist_percentile(m0, m1, 0.9) - 0.18) < 1e-9
+    assert abs(_hist_percentile(m0, m1, 0.99) - 0.198) < 1e-9
+    assert _hist_percentile(m0, m0, 0.5) == 0.0
+
+
+def test_max_requests_recycle_drains_and_exits(demo_pipeline):
+    """--max-requests worker recycling: after N served predictions the
+    accept loop exits (graceful drain) so the process can exit 0 and a
+    supervisor restarts it — the production bound on the axon relay
+    client's per-upload-byte host-RSS growth (BASELINE 'Serving
+    soak')."""
+    import threading
+
+    from PIL import Image
+
+    from ecgmm_tpu.serve.http import (
+        GracefulHTTPServer,
+        install_max_requests_recycle,
+        make_handler,
+    )
+
+    start = demo_pipeline.stats()["requests"]
+    httpd = GracefulHTTPServer(("127.0.0.1", 0),
+                               make_handler(demo_pipeline))
+    install_max_requests_recycle(httpd, demo_pipeline, start + 2)
+    t = threading.Thread(target=httpd.serve_forever)
+    t.start()
+    try:
+        cohort = synthetic.make_cohort(n=1, signal_len=2476,
+                                       img_hw=(250, 2500))
+        buf = io.BytesIO()
+        Image.fromarray(cohort.images[0]).save(buf, format="PNG")
+        body, ctype = _multipart({
+            "file": ("e.png", buf.getvalue()),
+            "questionnaire": (None, json.dumps({"age": 60}).encode()),
+        })
+        url = (f"http://127.0.0.1:{httpd.server_address[1]}"
+               + ENDPOINT)
+        for _ in range(2):
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": ctype},
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=600).read()
+        # the 2nd request trips the recycle: serve_forever must return
+        t.join(timeout=30)
+        assert not t.is_alive(), "accept loop did not drain after " \
+                                 "max_requests"
+        assert demo_pipeline.stats()["requests"] == start + 2
+    finally:
+        if t.is_alive():
+            httpd.shutdown()
+            t.join(timeout=10)
+        httpd.server_close()
+        demo_pipeline.on_request_done = None
